@@ -1,0 +1,23 @@
+"""hpvaegan_tpu — a TPU-native (JAX/XLA/Pallas) framework with the capabilities of
+SakiRinn/mindspore-hp-vae-gan (Hierarchical Patch VAE-GAN).
+
+This is NOT a port of the MindSpore reference: the compute path is pure-functional
+JAX (explicit pytree params, explicit PRNG keys, per-scale jitted train steps,
+align-corners resizes expressed as MXU matmuls), scaling is done with
+jax.sharding meshes, and export targets StableHLO instead of MindIR.
+
+Layout:
+  config.py       typed config (CLI-flag parity with the reference argparse surface)
+  utils/          pyramid scale math, noise, saver, logger, progress, media export
+  ops/            resize kernels, conv wrappers, batchnorm, spectral norm, pallas
+  models/         2D/3D generators, encoders, discriminators (+ SinGAN baselines)
+  losses.py       KL, WGAN-GP, VAE/GAN generator losses
+  optim.py        per-tensor-clipped Adam with per-block LR groups
+  training/       train state, jitted steps, the multi-scale loop
+  data/           single-image / single-video pipelines (decode once, resize on-device)
+  metrics/        sinFID (SIFID/SVFID): InceptionV3 / C3D features + Frechet distance
+  parallel/       device mesh + sharding helpers (DP batch, optional spatial CP)
+  export/         StableHLO export for native serving
+"""
+
+__version__ = "0.1.0"

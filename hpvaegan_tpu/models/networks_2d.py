@@ -1,0 +1,279 @@
+"""2D networks: VAE encoders, WGAN discriminator, hierarchical generator.
+
+Functional re-design of reference src/modules/networks_2d.py:85-378:
+params/state are explicit pytrees, PRNG keys are explicit, and the "growing
+network" (init_next_stage deep-copy, networks_2d.py:224-235) is appending a
+stage params/state pair to the `body` list. Arrays are channels-last (B,H,W,C).
+
+Forward modes (reference construct, networks_2d.py:237-264):
+  * reconstruction (noise_init=None): z ~ reparam(mu, logvar) in train,
+    z ~ N(0,1) of mu.shape otherwise
+  * random (noise_init given): z = noise_init, per-stage noise added
+Returns (x, vae_out, mu, logvar), new_state   (mu/logvar None in random mode).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import conv2d_init, conv2d_apply
+from ..ops.resize import upscale_2d
+from ..utils.noise import generate_noise
+from . import blocks as B
+
+
+# ---------------------------------------------------------------- encoders ---
+
+def encode2dvae_init(cfg, key, out_dim: Optional[int] = None,
+                     num_blocks: int = 2) -> Tuple[Dict, Dict]:
+    """Encode2DVAE (networks_2d.py:85-107): SN feature stack + mu/logvar convs."""
+    out_dim = out_dim or cfg.nfc
+    kf, km, kl = jax.random.split(key, 3)
+    fp, fs = B.feature_extractor_init(kf, cfg.nc_im, cfg.nfc, cfg.ker_size, 2,
+                                      num_blocks=num_blocks)
+    mu = conv2d_init(km, cfg.nfc, out_dim, cfg.ker_size)
+    logvar = conv2d_init(kl, cfg.nfc, out_dim, cfg.ker_size)
+    return ({"features": fp, "mu": mu, "logvar": logvar}, {"features": fs})
+
+
+def encode2dvae_apply(cfg, params, state, x, compute_dtype=None):
+    feats, fs = B.feature_extractor_apply(params["features"], state["features"],
+                                          x, ker=cfg.ker_size, ndim=2,
+                                          compute_dtype=compute_dtype)
+    pad = cfg.ker_size // 2
+    mu = conv2d_apply(params["mu"], feats, padding=pad, compute_dtype=compute_dtype)
+    logvar = conv2d_apply(params["logvar"], feats, padding=pad,
+                          compute_dtype=compute_dtype)
+    return (mu, logvar), {"features": fs}
+
+
+def encode2dvae_nb_init(cfg, key, out_dim: Optional[int] = None,
+                        num_blocks: int = 2) -> Tuple[Dict, Dict]:
+    """Encode2DVAE_nb (networks_2d.py:110-137): adds a Bernoulli gate and
+    global average pooling of mu/logvar."""
+    out_dim = out_dim or cfg.nfc
+    kf, km, kl, kb = jax.random.split(key, 4)
+    fp, fs = B.feature_extractor_init(kf, cfg.nc_im, cfg.nfc, cfg.ker_size, 2,
+                                      num_blocks=num_blocks)
+    return ({"features": fp,
+             "mu": conv2d_init(km, cfg.nfc, out_dim, cfg.ker_size),
+             "logvar": conv2d_init(kl, cfg.nfc, out_dim, cfg.ker_size),
+             "bern": conv2d_init(kb, cfg.nfc, 1, cfg.ker_size)},
+            {"features": fs})
+
+
+def encode2dvae_nb_apply(cfg, params, state, x, compute_dtype=None):
+    feats, fs = B.feature_extractor_apply(params["features"], state["features"],
+                                          x, ker=cfg.ker_size, ndim=2,
+                                          compute_dtype=compute_dtype)
+    pad = cfg.ker_size // 2
+    bern = jax.nn.sigmoid(conv2d_apply(params["bern"], feats, padding=pad,
+                                       compute_dtype=compute_dtype))
+    feats = bern * feats
+    mu = jnp.mean(conv2d_apply(params["mu"], feats, padding=pad,
+                               compute_dtype=compute_dtype), (1, 2), keepdims=True)
+    logvar = jnp.mean(conv2d_apply(params["logvar"], feats, padding=pad,
+                                   compute_dtype=compute_dtype), (1, 2),
+                      keepdims=True)
+    return (mu, logvar, bern), {"features": fs}
+
+
+# ----------------------------------------------------------- discriminator ---
+
+def wdiscriminator2d_init(cfg, key) -> Tuple[Dict, Dict]:
+    """WDiscriminator2D (networks_2d.py:162-185): SN head + num_layer SN body
+    blocks + plain conv tail (tail padding hardcoded 1, :178)."""
+    n = int(cfg.nfc)
+    keys = jax.random.split(key, cfg.num_layer + 2)
+    head_p, head_s = B.sn_block_init(keys[0], cfg.nc_im, n, cfg.ker_size, 2)
+    body_p, body_s = [], []
+    for i in range(cfg.num_layer):
+        p, s = B.sn_block_init(keys[1 + i], n, n, cfg.ker_size, 2)
+        body_p.append(p), body_s.append(s)
+    tail = conv2d_init(keys[-1], n, 1, cfg.ker_size)
+    return ({"head": head_p, "body": body_p, "tail": tail},
+            {"head": head_s, "body": body_s})
+
+
+def wdiscriminator2d_apply(cfg, params, state, x, compute_dtype=None):
+    pad = cfg.ker_size // 2
+    y, hs = B.sn_block_apply(params["head"], state["head"], x, padding=pad,
+                             ndim=2, compute_dtype=compute_dtype)
+    bs = []
+    for p, s in zip(params["body"], state["body"]):
+        y, ns = B.sn_block_apply(p, s, y, padding=pad, ndim=2,
+                                 compute_dtype=compute_dtype)
+        bs.append(ns)
+    y = conv2d_apply(params["tail"], y, padding=1, compute_dtype=compute_dtype)
+    return y, {"head": hs, "body": bs}
+
+
+# --------------------------------------------------------------- generator ---
+
+def _stage_init(cfg, key, cin: int) -> Tuple[Dict, Dict]:
+    return B.conv_stack_init(key, cin, int(cfg.nfc), cfg.nc_im, cfg.ker_size,
+                             cfg.num_layer, ndim=2)
+
+
+def generator_hpvaegan_init(cfg, key) -> Tuple[Dict, Dict]:
+    ke, kd = jax.random.split(key)
+    enc_p, enc_s = encode2dvae_init(cfg, ke, out_dim=cfg.latent_dim,
+                                    num_blocks=cfg.enc_blocks)
+    dec_p, dec_s = B.conv_stack_init(kd, cfg.latent_dim, int(cfg.nfc), cfg.nc_im,
+                                     cfg.ker_size, cfg.num_layer, ndim=2)
+    return ({"encode": enc_p, "decoder": dec_p, "body": []},
+            {"encode": enc_s, "decoder": dec_s, "body": []})
+
+
+def generator_init_next_stage(cfg, params: Dict, state: Dict, key,
+                              alias_last: bool = False) -> Tuple[Dict, Dict]:
+    """Grow the refinement body by one stage (networks_2d.py:224-235).
+
+    First stage is freshly initialized; later stages deep-copy the previous
+    one. `alias_last=True` mimics GeneratorVAE_nb's init bug of appending a
+    shared reference (networks_2d.py:324) — here a copy is still made (true
+    weight tying is not replicated), documented as a fixed reference bug.
+    """
+    params, state = dict(params), dict(state)
+    if len(params["body"]) == 0:
+        sp, ss = _stage_init(cfg, key, cfg.nc_im)
+    else:
+        sp = copy.deepcopy(params["body"][-1])
+        ss = copy.deepcopy(state["body"][-1])
+    params["body"] = list(params["body"]) + [sp]
+    state["body"] = list(state["body"]) + [ss]
+    return params, state
+
+
+def refinement_layers(cfg, body_params: List, body_state: List, x, amps,
+                      key, *, start_idx: int = 0, is_random: bool,
+                      noise_from_level: int = 0, train: bool,
+                      compute_dtype=None):
+    """Residual refinement chain (networks_2d.py:266-282).
+
+    amps: (stop_scale+1,) array of per-scale noise amplitudes (the reference
+    passes a host list; an array avoids recompiles when amps change).
+    noise_from_level: 2D adds noise at every stage (0); the 3D generator gates
+    noise on idx+1 >= vae_levels (networks_3d.py:443).
+    """
+    new_states = list(body_state[:start_idx])
+    for idx in range(start_idx, len(body_params)):
+        block_p, block_s = body_params[idx], body_state[idx]
+        if cfg.vae_levels == idx + 1 and not cfg.train_all:
+            x = jax.lax.stop_gradient(x)
+        x_up = upscale_2d(x, idx + 1, cfg.scale_factor, cfg.stop_scale,
+                          cfg.img_size, cfg.ar)
+        if is_random and idx + 1 >= noise_from_level:
+            key, sub = jax.random.split(key)
+            noise = generate_noise(sub, x_up.shape)
+            x_in = x_up + noise * amps[idx + 1]
+        else:
+            x_in = x_up
+        y, ns = B.conv_stack_apply(block_p, block_s, x_in, ker=cfg.ker_size,
+                                   padd=cfg.padd_size, train=train, ndim=2,
+                                   compute_dtype=compute_dtype)
+        new_states.append(ns)
+        x = jnp.tanh(y + x_up)
+    return x, new_states
+
+
+def generator_hpvaegan_apply(cfg, params, state, *, video=None, amps,
+                             noise_init=None, sample_init=None, key,
+                             is_random: bool = False, train: bool = False,
+                             compute_dtype=None):
+    """GeneratorHPVAEGAN forward (networks_2d.py:237-264)."""
+    kz, kr = jax.random.split(key)
+    mu = logvar = None
+    new_state = dict(state)
+    if noise_init is None:
+        (mu, logvar), enc_s = encode2dvae_apply(cfg, params["encode"],
+                                                state["encode"], video,
+                                                compute_dtype)
+        new_state["encode"] = enc_s
+        if train:
+            std = jnp.exp(logvar * 0.5)
+            eps = generate_noise(kz, std.shape)
+            z_vae = eps * std + mu
+        else:
+            z_vae = generate_noise(kz, mu.shape)
+    else:
+        z_vae = noise_init
+
+    dec_out, dec_s = B.conv_stack_apply(params["decoder"], state["decoder"],
+                                        z_vae, ker=cfg.ker_size,
+                                        padd=cfg.padd_size, train=train, ndim=2,
+                                        compute_dtype=compute_dtype)
+    new_state["decoder"] = dec_s
+    vae_out = jnp.tanh(dec_out)
+
+    if sample_init is not None:
+        start_idx, x0 = sample_init
+        assert len(params["body"]) > start_idx, \
+            "sample_init start beyond body length (networks_2d.py:239-240)"
+    else:
+        start_idx, x0 = 0, vae_out
+
+    x, body_s = refinement_layers(cfg, params["body"], state["body"], x0, amps,
+                                  kr, start_idx=start_idx, is_random=is_random,
+                                  train=train, compute_dtype=compute_dtype)
+    new_state["body"] = body_s
+    return (x, vae_out, mu, logvar), new_state
+
+
+# ------------------------------------------------- GeneratorVAE_nb variant ---
+
+def generator_vae_nb_init(cfg, key) -> Tuple[Dict, Dict]:
+    ke, kd = jax.random.split(key)
+    enc_p, enc_s = encode2dvae_nb_init(cfg, ke, out_dim=cfg.latent_dim,
+                                       num_blocks=cfg.enc_blocks)
+    dec_p, dec_s = B.conv_stack_init(kd, cfg.latent_dim, int(cfg.nfc), cfg.nc_im,
+                                     cfg.ker_size, cfg.num_layer, ndim=2)
+    return ({"encode": enc_p, "decoder": dec_p, "body": []},
+            {"encode": enc_s, "decoder": dec_s, "body": []})
+
+
+def generator_vae_nb_apply(cfg, params, state, *, video=None, amps,
+                           noise_init=None, noise_init_bern=None,
+                           sample_init=None, key, is_random: bool = False,
+                           train: bool = False, compute_dtype=None):
+    """GeneratorVAE_nb forward (networks_2d.py:326-360): Gaussian + Bernoulli
+    (Gumbel relaxation) latents multiplied into the decoder input."""
+    kz, kb, kr = jax.random.split(key, 3)
+    mu = logvar = bern = None
+    new_state = dict(state)
+    if noise_init is None:
+        (mu, logvar, bern), enc_s = encode2dvae_nb_apply(
+            cfg, params["encode"], state["encode"], video, compute_dtype)
+        new_state["encode"] = enc_s
+        if train:
+            std = jnp.exp(logvar * 0.5)
+            z_norm = generate_noise(kz, std.shape) * std + mu
+            eps = generate_noise(kb, bern.shape, kind="uniform")
+            z_bern = jnp.log(bern + 1e-20) - jnp.log(-jnp.log(eps + 1e-20) + 1e-20)
+        else:
+            z_norm = generate_noise(kz, mu.shape)
+            z_bern = generate_noise(kb, bern.shape, kind="bernoulli")
+    else:
+        z_norm, z_bern = noise_init, noise_init_bern
+
+    dec_out, dec_s = B.conv_stack_apply(params["decoder"], state["decoder"],
+                                        z_norm * z_bern, ker=cfg.ker_size,
+                                        padd=cfg.padd_size, train=train, ndim=2,
+                                        compute_dtype=compute_dtype)
+    new_state["decoder"] = dec_s
+    vae_out = jnp.tanh(dec_out)
+
+    if sample_init is not None:
+        start_idx, x0 = sample_init
+    else:
+        start_idx, x0 = 0, vae_out
+
+    x, body_s = refinement_layers(cfg, params["body"], state["body"], x0, amps,
+                                  kr, start_idx=start_idx, is_random=is_random,
+                                  train=train, compute_dtype=compute_dtype)
+    new_state["body"] = body_s
+    return (x, vae_out, mu, logvar, bern), new_state

@@ -1,0 +1,100 @@
+"""Channels-last convolution wrappers (NHWC / NDHWC).
+
+TPU-first layout choice: channels-last puts the channel dim on the 128-lane
+axis (nfc=64, latent_dim=128 in the reference defaults), which is what XLA's
+TPU conv emitter tiles onto the MXU. The reference uses NCHW/NCDHW MindSpore
+convs (src/modules/networks_2d.py:47-49, networks_3d.py:48-50); layout here is
+an internal choice — IO boundaries convert.
+
+Weight layout: HWIO (2D) / DHWIO (3D). Init: Normal(std=0.02, mean=0)
+matching the reference (networks_2d.py:48 `Normal(0.02, 0.0)`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def normal_init(key, shape, std=0.02, mean=0.0, dtype=jnp.float32):
+    return mean + std * jax.random.normal(key, shape, dtype)
+
+
+def conv2d_init(key, in_ch: int, out_ch: int, ker: int, bias: bool = True) -> Dict:
+    params = {"w": normal_init(key, (ker, ker, in_ch, out_ch))}
+    if bias:
+        params["b"] = jnp.zeros((out_ch,), jnp.float32)
+    return params
+
+
+def conv3d_init(key, in_ch: int, out_ch: int, ker: int, bias: bool = True) -> Dict:
+    params = {"w": normal_init(key, (ker, ker, ker, in_ch, out_ch))}
+    if bias:
+        params["b"] = jnp.zeros((out_ch,), jnp.float32)
+    return params
+
+
+def _conv(x, w, stride, padding, dims2d: bool, compute_dtype=None):
+    n_spatial = 2 if dims2d else 3
+    if isinstance(padding, int):
+        padding = [(padding, padding)] * n_spatial
+    dn = ("NHWC", "HWIO", "NHWC") if dims2d else ("NDHWC", "DHWIO", "NDHWC")
+    in_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    out = lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,) * n_spatial,
+        padding=padding,
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(in_dtype)
+
+
+def conv2d_apply(params: Dict, x: jnp.ndarray, stride: int = 1, padding=0,
+                 compute_dtype=None) -> jnp.ndarray:
+    out = _conv(x, params["w"], stride, padding, True, compute_dtype)
+    if "b" in params:
+        out = out + params["b"].astype(out.dtype)
+    return out
+
+
+def conv3d_apply(params: Dict, x: jnp.ndarray, stride: int = 1, padding=0,
+                 compute_dtype=None) -> jnp.ndarray:
+    out = _conv(x, params["w"], stride, padding, False, compute_dtype)
+    if "b" in params:
+        out = out + params["b"].astype(out.dtype)
+    return out
+
+
+def reflect_pad(x: jnp.ndarray, pad: int, dims2d: bool = True) -> jnp.ndarray:
+    """REFLECT padding on spatial axes (reference: networks_2d.py:64-65,
+    networks_3d.py:65-68 — the bn=False spectral-norm block variant)."""
+    if pad == 0:
+        return x
+    if dims2d:
+        cfg = [(0, 0), (pad, pad), (pad, pad), (0, 0)]
+    else:
+        cfg = [(0, 0), (pad, pad), (pad, pad), (pad, pad), (0, 0)]
+    return jnp.pad(x, cfg, mode="reflect")
+
+
+def activation(x: jnp.ndarray, act: str) -> jnp.ndarray:
+    """Activations (reference: networks_2d.py:16-24; MindSpore LeakyReLU
+    default alpha=0.2)."""
+    if act == "relu":
+        return jax.nn.relu(x)
+    if act == "lrelu":
+        return jax.nn.leaky_relu(x, 0.2)
+    if act == "elu":
+        return jax.nn.elu(x)
+    if act == "selu":
+        return jax.nn.selu(x)
+    if act == "prelu":  # fixed-slope stand-in for nn.PReLU's init (0.25)
+        return jax.nn.leaky_relu(x, 0.25)
+    raise ValueError(f"unknown activation: {act}")

@@ -1,0 +1,122 @@
+"""Experiment directory layout + checkpoint / JSON / media IO.
+
+Mirrors the reference layout (src/utils/saver.py:21-92):
+  <run_dir>/<clip_name>/<checkname>/experiment_<n>/
+with auto-incrementing run ids, an eval/ subdir, and optional img/ dir.
+
+Checkpoints are pickled numpy pytrees ({'params': ..., 'state': ...}) written
+as netG_<k>.ckpt / netD_<k>.ckpt; `intermediate.json` carries
+{noise_amps, scale_idx} — training state outside the weight checkpoint, part
+of the checkpoint contract (reference: train_image.py:206-210).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def tree_to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_pytree(tree, filename: str) -> None:
+    with open(filename, "wb") as f:
+        pickle.dump(tree_to_numpy(tree), f)
+
+
+def load_pytree(filename: str):
+    with open(filename, "rb") as f:
+        return pickle.load(f)
+
+
+def write_video(array: np.ndarray, filename: str, fps: float) -> None:
+    """MJPG avi writer, un-normalizing from [-1,1] (reference: saver.py:9-18).
+    `array` layout: (C, T, H, W) to match the reference artifact contract."""
+    import cv2
+
+    _, num_frames, height, width = array.shape
+    video = cv2.VideoWriter(filename, cv2.VideoWriter_fourcc("M", "J", "P", "G"),
+                            float(fps), (width, height))
+    for i in range(num_frames):
+        frame = (array[:, i, :, :] + 1) * 127.5
+        frame = frame.transpose(1, 2, 0)
+        video.write(np.uint8(frame))
+    video.release()
+
+
+class DataSaver:
+    def __init__(self, cfg, run_id: Optional[int] = None):
+        self.cfg = cfg
+        experiment_dir = getattr(cfg, "experiment_dir", None)
+        if not experiment_dir or not os.path.exists(experiment_dir):
+            if getattr(cfg, "image_path", ""):
+                clip_name = ".".join(os.path.basename(cfg.image_path).split(".")[:-1])
+            elif getattr(cfg, "video_path", ""):
+                clip_name = ".".join(os.path.basename(cfg.video_path).split(".")[:-1])
+            else:
+                raise AttributeError("cfg needs image_path or video_path")
+            self.directory = os.path.join(getattr(cfg, "run_dir", "run"),
+                                          clip_name, cfg.checkname)
+            if run_id is None:
+                runs = sorted(glob.glob(os.path.join(self.directory, "experiment_*")))
+                run_id = int(runs[-1].split("_")[-1]) + 1 if runs else 0
+            self.experiment_dir = os.path.join(self.directory,
+                                               "experiment_{}".format(run_id))
+        else:
+            self.experiment_dir = experiment_dir
+
+        os.makedirs(self.experiment_dir, exist_ok=True)
+        self.eval_dir = os.path.join(self.experiment_dir, "eval")
+        os.makedirs(self.eval_dir, exist_ok=True)
+
+        self.image_dir = None
+        if getattr(cfg, "visualize", False):
+            self.image_dir = os.path.join(self.experiment_dir, "img")
+            os.makedirs(self.image_dir, exist_ok=True)
+
+        self.iteration = 0
+
+    # --- checkpoints ---
+    def save_checkpoint(self, tree, filename: str) -> None:
+        save_pytree(tree, os.path.join(self.experiment_dir, filename))
+
+    def load_checkpoint(self, filename: str, path: Optional[str] = None):
+        path = path or self.experiment_dir
+        return load_pytree(os.path.join(path, filename))
+
+    # --- json ---
+    def save_json(self, obj: Dict[str, Any], filename: str) -> None:
+        with open(os.path.join(self.experiment_dir, filename), "w") as f:
+            json.dump(obj, f)
+
+    def load_json(self, filename: str, path: Optional[str] = None):
+        path = path or self.experiment_dir
+        with open(os.path.join(path, filename), "r") as f:
+            return json.load(f)
+
+    # --- media ---
+    def save_image(self, img, filename: str) -> None:
+        """Dump a (B,H,W,C) [-1,1]-scaled-by-255 batch like the reference
+        (saver.py:78-88). The reference transposes (2,1,0) swapping H/W — a
+        documented quirk; here images are written upright."""
+        if self.image_dir is None:
+            return
+        import cv2
+
+        arr = np.asarray(img).squeeze().astype(np.uint8)
+        if arr.ndim == 4:
+            arr = arr[0]
+        elif arr.ndim != 3:
+            return
+        cv2.imwrite(os.path.join(self.image_dir, filename), arr[..., ::-1])
+
+    def save_video(self, array, filename: str) -> None:
+        write_video(np.asarray(array), os.path.join(self.eval_dir, filename),
+                    getattr(self.cfg, "fps", 24.0))
