@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""Benchmark harness: train steps/sec at the reference's full workload.
+
+Workload: the default single-image config (img_size 256 -> 10 scales, nfc 64,
+num_layer 5, latent_dim 128; reference train_image.py:225-263), measuring the
+full GAN-phase iteration (D step with WGAN-GP double-backward + G step with
+reconstruction + adversarial forward) at the FINEST pyramid scale (257px) —
+the heaviest step of the run, the one that dominates the reference's
+5000-iter-per-scale wall clock.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+
+vs_baseline: the driver target is >=10x MindSpore-CPU step throughput
+(BASELINE.md). MindSpore CPU on this workload is estimated at 0.25 steps/s
+(a ~36-GFLOP fwd+bwd+GP iteration on host CPU); target = 2.5 steps/s;
+vs_baseline = value / 2.5. The estimate is recorded here until a real
+MindSpore-CPU measurement can be taken (MindSpore is not installed in this
+image).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+MS_CPU_EST_STEPS_PER_SEC = 0.25
+TARGET = 10 * MS_CPU_EST_STEPS_PER_SEC
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(scale_idx: int, compute_dtype: str):
+    from hpvaegan_tpu import models
+    from hpvaegan_tpu.config import Config
+    from hpvaegan_tpu.data.image import SingleImageDataset, make_image_batch_fn
+    from hpvaegan_tpu.models.networks_2d import generator_init_next_stage
+    from hpvaegan_tpu.optim import adam, clipped_adam
+    from hpvaegan_tpu.training.partition import (lr_tree_for, make_lr_plan,
+                                                 split_params)
+    from hpvaegan_tpu.training.state import ScaleTrainState
+    from hpvaegan_tpu.training.steps import make_d_step, make_g_step
+
+    cfg = Config(image_path="data/imgs/air_balloons.jpg",
+                 compute_dtype=compute_dtype).finalize()
+    cfg.scale_idx = scale_idx
+    dataset = SingleImageDataset(cfg)
+
+    g_init, g_apply = models.get_generator(cfg.generator, 2)
+    d_init, d_apply = models.get_discriminator(cfg.discriminator, 2)
+    key = jax.random.PRNGKey(0)
+    g_params, g_state = g_init(cfg, key)
+    for i in range(scale_idx):
+        g_params, g_state = generator_init_next_stage(cfg, g_params, g_state,
+                                                      jax.random.PRNGKey(i))
+    d_params, d_state = d_init(cfg, jax.random.PRNGKey(1))
+
+    plan = make_lr_plan(cfg, scale_idx, len(g_params["body"]))
+    trainable, _ = split_params(g_params, plan)
+    opt_g = clipped_adam(lr_tree_for(trainable, plan), cfg.beta1,
+                         grad_clip=cfg.grad_clip)
+    opt_d = adam(cfg.lr_d, cfg.beta1)
+    state = ScaleTrainState(g_params, g_state, d_params, d_state,
+                            opt_g.init(trainable), opt_d.init(d_params),
+                            jax.random.PRNGKey(2))
+
+    vae_phase = cfg.vae_levels >= scale_idx + 1
+    g_step = make_g_step(cfg, g_apply, d_apply, opt_g, plan, vae_phase)
+    d_step = make_d_step(cfg, g_apply, d_apply, opt_d)
+    batch_fn = make_image_batch_fn(cfg, scale_idx)
+    data_scale = dataset.scale_image(scale_idx)
+    data_zero = dataset.scale_image(0)
+    amps = jnp.concatenate([jnp.ones((scale_idx + 1,)),
+                            jnp.zeros((cfg.stop_scale + 1 - scale_idx,))])
+    return (cfg, state, g_step, d_step, batch_fn, data_scale, data_zero, amps,
+            vae_phase)
+
+
+def bench_scale(scale_idx: int, iters: int = 20, warmup: int = 3,
+                compute_dtype: str = "float32") -> float:
+    (cfg, state, g_step, d_step, batch_fn, data_scale, data_zero, amps,
+     vae_phase) = build(scale_idx, compute_dtype)
+    key = jax.random.PRNGKey(7)
+
+    def one_iter(state, k):
+        real, real_zero, noise_init = batch_fn(data_scale, data_zero, k)
+        if not vae_phase:
+            state, _ = d_step(state, real, noise_init, amps)
+        state, m = g_step(state, real, real_zero, noise_init, amps)
+        return state, m
+
+    for i in range(warmup):
+        key, k = jax.random.split(key)
+        state, m = one_iter(state, k)
+    jax.block_until_ready(state.g_params)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, k = jax.random.split(key)
+        state, m = one_iter(state, k)
+    jax.block_until_ready(state.g_params)
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--compute-dtype", default="float32")
+    p.add_argument("--all-scales", action="store_true",
+                   help="also report a per-scale table to stderr")
+    args = p.parse_args()
+
+    log(f"devices: {jax.devices()}")
+    if args.all_scales:
+        for s in (0, 3, 5, 7, 9):
+            sps = bench_scale(s, iters=args.iters,
+                              compute_dtype=args.compute_dtype)
+            log(f"scale {s}: {sps:.3f} steps/s")
+
+    sps = bench_scale(9, iters=args.iters, compute_dtype=args.compute_dtype)
+    log(f"finest scale (9, 257px): {sps:.3f} steps/s")
+    print(json.dumps({
+        "metric": "train_steps_per_sec_finest_scale_256px_image",
+        "value": round(sps, 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(sps / TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Shared evaluation logic for eval_image.py / eval_video.py CLIs.
+
+Reference flow (eval_image.py:24-76, eval_video.py:23-85): hydrate the config
+from args.txt, rebuild G at the saved scale, generate niter x num_samples
+random samples, dump random_samples.npy, derive PNGs/GIFs, compute sinFID.
+TPU-native: samples are generated in ONE batched jitted forward per iteration
+instead of a Python loop over single samples (eval_image.py:54-61)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import models
+from .config import Config
+from .training.steps import make_sampler
+from .utils import pyramid
+from .utils.saver import DataSaver, load_pytree
+
+
+def hydrate_config(exp_dir: str, overrides: dict,
+                   exceptions=("niter", "data_rep", "batch_size", "netG",
+                               "scale_idx")) -> Config:
+    """Rebuild the Config from the experiment's args.txt
+    (reference eval_image.py:122-132)."""
+    cfg = Config.from_args_txt(os.path.join(exp_dir, "args.txt"),
+                               exceptions=list(exceptions))
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    cfg.experiment_dir = exp_dir
+    return cfg
+
+
+def load_generator(cfg, exp_dir: str, ndim: int, netG: str = ""):
+    """Load netG at the saved scale (reference eval_image.py:154-177)."""
+    saver = DataSaver(cfg)
+    inter = saver.load_json("intermediate.json", path=exp_dir)
+    if cfg.scale_idx == -1:
+        cfg.scale_idx = int(inter["scale_idx"])
+    cfg.Noise_Amps = inter["noise_amps"][:cfg.scale_idx + 1]
+
+    path = netG or os.path.join(exp_dir, f"netG_{cfg.scale_idx}.ckpt")
+    if not os.path.isfile(path):
+        raise RuntimeError(f"=> no <G> checkpoint found at '{path}'")
+    ckpt = load_pytree(path)
+    return ckpt["params"], ckpt["state"], saver
+
+
+def generate_samples(cfg, g_params, g_state, ndim: int, seed: int = 0,
+                     train_mode: bool = False) -> np.ndarray:
+    """niter batches of num_samples random samples; returns channels-last
+    (N, ..., C) in [-1, 1]."""
+    g_apply = models.get_generator(cfg.generator, ndim)[1]
+    sampler = make_sampler(cfg, g_apply, train=train_mode)
+    h0, w0 = pyramid.scale_size_2d(0, cfg.scale_factor, cfg.stop_scale,
+                                   cfg.img_size, cfg.ar)
+    if ndim == 2:
+        z_shape = (cfg.num_samples, h0, w0, cfg.latent_dim)
+    else:
+        _, td0, _ = pyramid.get_fps_td_by_index(0, cfg.stop_scale_time,
+                                                cfg.sampling_rates, cfg.org_fps,
+                                                cfg.fps_lcm)
+        z_shape = (cfg.num_samples, td0, h0, w0, cfg.latent_dim)
+
+    amps = np.zeros((cfg.stop_scale + 2,), np.float32)
+    amps[:len(cfg.Noise_Amps)] = cfg.Noise_Amps
+    amps = jnp.asarray(amps)
+
+    key = jax.random.PRNGKey(seed)
+    outs = []
+    for it in range(cfg.niter):
+        key, kn, ks = jax.random.split(key, 3)
+        noise = jax.random.normal(kn, z_shape)
+        fake, _ = sampler(g_params, g_state, noise, amps, ks)
+        outs.append(np.asarray(fake))
+    return np.concatenate(outs, axis=0)
+
+
+def eval_image_experiment(cfg, exp_dir: str, seed: int = 0):
+    """One experiment dir: samples -> npy -> PNGs -> SIFID
+    (reference eval_image.py:179-190)."""
+    from .metrics import calculate_SIFID
+    from .utils.media import generate_images
+
+    g_params, g_state, saver = load_generator(cfg, exp_dir, ndim=2,
+                                              netG=cfg.netG)
+    samples = generate_samples(cfg, g_params, g_state, ndim=2, seed=seed)
+    # reference artifact layout: (N, C, H, W)
+    np.save(os.path.join(saver.eval_dir, "random_samples.npy"),
+            samples.transpose(0, 3, 1, 2))
+    generate_images(cfg, saver)
+
+    real_dir = os.path.dirname(os.path.abspath(cfg.image_path))
+    fake_dir = os.path.join(saver.eval_dir, cfg.save_path)
+    sifid = calculate_SIFID(real_dir, fake_dir)
+    logging.info("SIFID: %s", sifid)
+    return sifid, saver
+
+
+def eval_video_experiment(cfg, exp_dir: str, seed: int = 0):
+    """One experiment dir: samples -> npy -> GIFs -> SVFID
+    (reference eval_video.py:23-85, 185-193)."""
+    from .data.video import SingleVideoDataset
+    from .metrics import calculate_SVFID
+    from .utils.media import generate_gifs
+
+    dataset = SingleVideoDataset(cfg)
+    g_params, g_state, saver = load_generator(cfg, exp_dir, ndim=3,
+                                              netG=cfg.netG)
+    fps, td, fps_index = pyramid.get_fps_td_by_index(
+        cfg.scale_idx, cfg.stop_scale_time, cfg.sampling_rates, cfg.org_fps,
+        cfg.fps_lcm)
+    cfg.fps, cfg.td, cfg.fps_index = fps, td, fps_index
+
+    # real_full_scale.npy: (T, H, W, C) uint8 at the saved scale
+    frames = np.asarray(dataset.scale_frames(cfg.scale_idx))[0]
+    np.save(os.path.join(saver.eval_dir, "real_full_scale.npy"),
+            (frames * 255).astype(np.uint8))
+
+    samples = generate_samples(cfg, g_params, g_state, ndim=3, seed=seed)
+    # reference artifact layout: (N, C, T, H, W)
+    np.save(os.path.join(saver.eval_dir, "random_samples.npy"),
+            samples.transpose(0, 4, 1, 2, 3))
+    generate_gifs(cfg, saver)
+
+    # SVFID over video arrays (the reference image-file path was broken)
+    from .metrics.fid import svfid_arrays
+    reals = ((frames[None] if frames.ndim == 4 else frames) + 0.0)
+    fakes = (samples + 1) / 2
+    t = min(reals.shape[1], fakes.shape[1])
+    h = min(reals.shape[2], fakes.shape[2])
+    w = min(reals.shape[3], fakes.shape[3])
+    svfid = float(np.mean(svfid_arrays(reals[:, :t, :h, :w],
+                                       fakes[:, :t, :h, :w])))
+    logging.info("SVFID: %s", svfid)
+    return svfid, saver
+
+
+def iter_experiment_dirs(pattern: str):
+    return sorted(glob.glob(pattern))

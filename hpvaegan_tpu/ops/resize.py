@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,8 +55,11 @@ def _resize_axis(x: jnp.ndarray, axis: int, n_out: int,
     if n_in == n_out:
         return x
     mat = jnp.asarray(_interp_matrix(n_in, n_out, align_corners), dtype=x.dtype)
-    # (n_out, n_in) . x[..., n_in, ...] -> leading n_out axis, then restore position
-    out = jnp.tensordot(mat, x, axes=[[1], [axis]])
+    # (n_out, n_in) . x[..., n_in, ...] -> leading n_out axis, then restore
+    # position. HIGHEST precision: the default TPU matmul is bf16 on the MXU,
+    # which would quantize the interpolation (pyramid parity is load-bearing).
+    out = jnp.tensordot(mat, x, axes=[[1], [axis]],
+                        precision=jax.lax.Precision.HIGHEST)
     return jnp.moveaxis(out, 0, axis)
 
 

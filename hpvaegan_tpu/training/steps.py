@@ -1,0 +1,157 @@
+"""Per-scale jitted training steps.
+
+Each of make_d_step / make_g_step builds ONE fused XLA program per
+(scale, phase): generator forward over all grown stages, loss, grads,
+per-tensor clipping, Adam update — the reference's TrainOneStepCell pair
+(train_image.py:42-91) re-expressed as pure jitted functions over a
+ScaleTrainState. Data, noise and RNG all live on device; the host only
+dispatches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import d_loss_fn, g_gan_loss_fn, g_vae_loss_fn, gradient_penalty
+from .partition import lr_tree_for, merge_params, split_params
+from .state import ScaleTrainState
+
+
+def _cdtype(cfg):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+
+def make_g_step(cfg, g_apply: Callable, d_apply: Callable, opt_g, plan,
+                vae_phase: bool):
+    """VAE-phase or GAN-phase generator update (reference: losses.py:59-107 +
+    train_image.py:152-159)."""
+    cd = _cdtype(cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def g_step(state: ScaleTrainState, real, real_zero, noise_init, amps):
+        key, k_rec, k_fake = jax.random.split(state.key, 3)
+        trainable, frozen = split_params(state.g_params, plan)
+
+        def loss_fn(tr):
+            params = merge_params(tr, frozen)
+            out, gs1 = g_apply(cfg, params, state.g_state, video=real_zero,
+                               amps=amps, noise_init=None, key=k_rec,
+                               is_random=False, train=True, compute_dtype=cd)
+            gen, gen_vae, mu, logvar = out[:4]
+            if vae_phase:
+                total, aux = g_vae_loss_fn(cfg, gen, gen_vae, real, real_zero,
+                                           mu, logvar)
+                new_gstate = gs1
+            else:
+                out2, gs2 = g_apply(cfg, params, gs1, video=None, amps=amps,
+                                    noise_init=noise_init, key=k_fake,
+                                    is_random=True, train=True, compute_dtype=cd)
+                fake = out2[0]
+
+                def d_fn(x):
+                    return d_apply(cfg, state.d_params, state.d_state, x, cd)[0]
+
+                total, aux = g_gan_loss_fn(cfg, d_fn, gen, real, fake)
+                new_gstate = gs2
+            return total, (new_gstate, aux)
+
+        (loss, (new_gstate, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        updates, new_opt_g = opt_g.update(grads, state.opt_g, trainable)
+        trainable_new = optax.apply_updates(trainable, updates)
+        g_params = merge_params(trainable_new, frozen)
+        metrics = {"g_loss": loss, **aux}
+        return ScaleTrainState(g_params, new_gstate, state.d_params,
+                               state.d_state, new_opt_g, state.opt_d, key), metrics
+
+    return g_step
+
+
+def make_d_step(cfg, g_apply: Callable, d_apply: Callable, opt_d):
+    """WGAN-GP discriminator update (reference: losses.py:17-52 +
+    train_image.py:157)."""
+    cd = _cdtype(cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def d_step(state: ScaleTrainState, real, noise_init, amps):
+        key, k_fake, k_alpha = jax.random.split(state.key, 3)
+        out, _ = g_apply(cfg, state.g_params, state.g_state, video=None,
+                         amps=amps, noise_init=noise_init, key=k_fake,
+                         is_random=True, train=True, compute_dtype=cd)
+        fake = jax.lax.stop_gradient(out[0])
+        # per-step GP alpha; bug_compat freezes it (reference losses.py:26
+        # draws it once at cell init)
+        alpha = jnp.float32(0.5) if cfg.bug_compat \
+            else jax.random.uniform(k_alpha, ())
+
+        def loss_fn(dp):
+            def d_fn(x):
+                return d_apply(cfg, dp, state.d_state, x, cd)[0]
+
+            # real/fake passes; capture new SN (u,v) state from the real pass
+            out_real, new_dstate = d_apply(cfg, dp, state.d_state, real, cd)
+            err_real = -jnp.mean(out_real)
+            err_fake = jnp.mean(d_fn(fake))
+            gp = gradient_penalty(d_fn, real, fake, alpha, cfg.lambda_grad)
+            total = err_real + err_fake + gp
+            return total, (new_dstate, {"d_real": -err_real,
+                                        "d_fake": err_fake, "gp": gp})
+
+        (loss, (new_dstate, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.d_params)
+        updates, new_opt_d = opt_d.update(grads, state.opt_d)
+        d_params = optax.apply_updates(state.d_params, updates)
+        metrics = {"d_loss": loss, **aux}
+        return ScaleTrainState(state.g_params, state.g_state, d_params,
+                               new_dstate, state.opt_g, new_opt_d, key), metrics
+
+    return d_step
+
+
+def make_calibration(cfg, g_apply: Callable):
+    """Noise-amp calibration forward: RMSE(real, reconstruction)
+    (reference: train_image.py:134-148). Host reads the scalar once per scale."""
+    cd = _cdtype(cfg)
+
+    @jax.jit
+    def calib(g_params, g_state, real, real_zero, amps, key):
+        out, _ = g_apply(cfg, g_params, g_state, video=real_zero, amps=amps,
+                         noise_init=None, key=key, is_random=False, train=True,
+                         compute_dtype=cd)
+        return jnp.sqrt(jnp.mean((real - out[0]) ** 2))
+
+    return calib
+
+
+def make_sampler(cfg, g_apply: Callable, train: bool = False):
+    """Batched random-mode forward for visualization/eval (replaces the
+    reference's Python loop over samples, eval_image.py:54-61)."""
+    cd = _cdtype(cfg)
+
+    @jax.jit
+    def sample(g_params, g_state, noise_init, amps, key):
+        out, _ = g_apply(cfg, g_params, g_state, video=None, amps=amps,
+                         noise_init=noise_init, key=key, is_random=True,
+                         train=train, compute_dtype=cd)
+        return out[0], out[1]
+
+    return sample
+
+
+def make_recon(cfg, g_apply: Callable, train: bool = True):
+    """Reconstruction-mode forward for visualization (train_image.py:183-187)."""
+    cd = _cdtype(cfg)
+
+    @jax.jit
+    def recon(g_params, g_state, real_zero, amps, key):
+        out, _ = g_apply(cfg, g_params, g_state, video=real_zero, amps=amps,
+                         noise_init=None, key=key, is_random=False, train=train,
+                         compute_dtype=cd)
+        return out[0], out[1]
+
+    return recon

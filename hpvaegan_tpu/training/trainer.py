@@ -1,0 +1,252 @@
+"""The multi-scale training loop (image + video).
+
+Re-expresses the reference drivers' scale loop (train_image.py:22-210,385-391;
+train_video.py:22-227,413-419) TPU-first:
+  * per-scale jitted D/G steps (static shapes; <= 2*(stop_scale+1) compiles/run)
+  * data pyramid resized on device once per scale; batches formed in-jit
+  * noise-amp calibration syncs ONE scalar to host per scale
+    (train_image.py:134-148)
+  * per-scale fresh discriminator, warm-started from the previous GAN scale
+    (train_image.py:29-39)
+  * checkpoints: netG_<k>.ckpt / netD_<k>.ckpt + intermediate.json carrying
+    {noise_amps, scale_idx} (train_image.py:206-210)
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import models
+from ..data.image import SingleImageDataset, make_image_batch_fn
+from ..data.video import SingleVideoDataset, make_video_batch_fn
+from ..optim import adam, clipped_adam
+from ..utils import pyramid
+from ..utils.progress import create_progressbar
+from ..utils.saver import DataSaver
+from .partition import lr_tree_for, make_lr_plan, split_params
+from .state import ScaleTrainState
+from .steps import make_calibration, make_d_step, make_g_step, make_recon, \
+    make_sampler
+
+
+def _amps_array(noise_amps: List[float], stop_scale: int) -> jnp.ndarray:
+    arr = np.zeros((stop_scale + 2,), np.float32)
+    arr[:len(noise_amps)] = np.asarray(noise_amps, np.float32)
+    return jnp.asarray(arr)
+
+
+def init_next_stage(cfg, g_params, g_state, key, ndim: int):
+    if ndim == 2:
+        return models.networks_2d.generator_init_next_stage(cfg, g_params,
+                                                            g_state, key)
+    return models.networks_3d.generator_init_next_stage(cfg, g_params,
+                                                        g_state, key)
+
+
+def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
+                noise_amps: List[float], key, ndim: int,
+                resumed_idx: int = -1, resume_dir: str = "",
+                step_callback=None):
+    """Train one pyramid scale. Returns (g_params, g_state, noise_amps, key)."""
+    scale_idx = cfg.scale_idx
+    vae_phase = cfg.vae_levels >= scale_idx + 1
+    g_apply = models.get_generator(cfg.generator, ndim)[1]
+    d_init, d_apply = models.get_discriminator(cfg.discriminator, ndim)
+
+    # --- fresh discriminator, warm-started at GAN scales (train_image.py:29-39)
+    key, kd = jax.random.split(key)
+    d_params, d_state = d_init(cfg, kd)
+    if not vae_phase:
+        try:
+            if resumed_idx == scale_idx and resume_dir:
+                ckpt = saver.load_checkpoint(f"netD_{scale_idx - 1}.ckpt",
+                                             path=resume_dir)
+                d_params, d_state = ckpt["params"], ckpt["state"]
+            elif cfg.vae_levels < scale_idx:
+                ckpt = saver.load_checkpoint(f"netD_{scale_idx - 1}.ckpt")
+                d_params, d_state = ckpt["params"], ckpt["state"]
+        except FileNotFoundError:
+            logging.warning("no previous netD checkpoint to warm-start from")
+
+    # --- optimizers (train_image.py:42-91)
+    plan = make_lr_plan(cfg, scale_idx, len(g_params["body"]))
+    trainable, _ = split_params(g_params, plan)
+    lr_tree = lr_tree_for(trainable, plan)
+    opt_g = clipped_adam(lr_tree, cfg.beta1, grad_clip=cfg.grad_clip)
+    opt_g_state = opt_g.init(trainable)
+    opt_d = adam(cfg.lr_d, cfg.beta1)
+    opt_d_state = opt_d.init(d_params)
+
+    # --- jitted programs for this scale
+    g_step = make_g_step(cfg, g_apply, d_apply, opt_g, plan, vae_phase)
+    d_step = make_d_step(cfg, g_apply, d_apply, opt_d)
+    calib = make_calibration(cfg, g_apply)
+    if ndim == 2:
+        batch_fn = make_image_batch_fn(cfg, scale_idx)
+        data_scale = dataset.scale_image(scale_idx)
+        data_zero = dataset.scale_image(0)
+    else:
+        batch_fn = make_video_batch_fn(cfg, scale_idx)
+        data_scale = dataset.scale_frames(scale_idx)
+        data_zero = dataset.scale_frames(0)
+
+    key, ks = jax.random.split(key)
+    state = ScaleTrainState(g_params, g_state, d_params, d_state,
+                            opt_g_state, opt_d_state, ks)
+
+    bar = create_progressbar(
+        iterable=range(cfg.niter),
+        desc="Training scale [{}/{}]".format(scale_idx + 1, cfg.stop_scale + 1))
+
+    metrics = {}
+    for iteration in bar:
+        key, kb = jax.random.split(key)
+        real, real_zero, noise_init = batch_fn(data_scale, data_zero, kb)
+
+        # --- noise-amp calibration, first iteration (train_image.py:134-148)
+        if iteration == 0:
+            if cfg.const_amp:
+                noise_amps.append(1.0)
+            elif scale_idx == 0:
+                noise_amps.append(1.0)
+            else:
+                noise_amps.append(0.0)
+                key, kc = jax.random.split(key)
+                rmse = calib(state.g_params, state.g_state, real, real_zero,
+                             _amps_array(noise_amps, cfg.stop_scale), kc)
+                amp = cfg.noise_amp_init * float(rmse) / cfg.batch_size
+                noise_amps[-1] = amp
+            amps = _amps_array(noise_amps, cfg.stop_scale)
+
+        # --- train (train_image.py:152-159)
+        if vae_phase:
+            state, metrics = g_step(state, real, real_zero, noise_init, amps)
+        else:
+            state, d_metrics = d_step(state, real, noise_init, amps)
+            state, metrics = g_step(state, real, real_zero, noise_init, amps)
+            metrics.update(d_metrics)
+
+        if (iteration + 1) % cfg.print_interval == 0:
+            vals = {k: float(v) for k, v in metrics.items()}
+            logging.logbook("[Scale {}/Iter {}] Noise amp: {:.5f}, {}".format(
+                scale_idx + 1, iteration + 1, noise_amps[-1],
+                ", ".join(f"{k}: {v:.5f}" for k, v in sorted(vals.items()))))
+
+        if cfg.visualize and (iteration + 1) % cfg.image_interval == 0 and ndim == 2:
+            _visualize(cfg, saver, g_apply, state, real, real_zero, noise_init,
+                       amps, key, iteration)
+
+        if step_callback is not None:
+            step_callback(iteration, state, metrics)
+
+    bar.close()
+
+    # --- save (train_image.py:206-210)
+    saver.save_json({"noise_amps": noise_amps, "scale_idx": scale_idx},
+                    "intermediate.json")
+    saver.save_checkpoint({"params": state.g_params, "state": state.g_state},
+                          f"netG_{scale_idx}.ckpt")
+    if not vae_phase:
+        saver.save_checkpoint({"params": state.d_params, "state": state.d_state},
+                              f"netD_{scale_idx}.ckpt")
+    return state.g_params, state.g_state, noise_amps, key
+
+
+def _visualize(cfg, saver, g_apply, state, real, real_zero, noise_init, amps,
+               key, iteration):
+    """Periodic image dumps (train_image.py:179-200), denormalized properly."""
+    recon = make_recon(cfg, g_apply)
+    sample = make_sampler(cfg, g_apply, train=True)
+
+    def denorm(x):
+        return np.clip((np.asarray(x) + 1) * 127.5, 0, 255)
+
+    saver.save_image(denorm(real), f"real_{iteration + 1}.jpg")
+    gen, gen_vae = recon(state.g_params, state.g_state, real_zero, amps, key)
+    saver.save_image(denorm(gen), f"generated_{iteration + 1}.jpg")
+    saver.save_image(denorm(gen_vae), f"generated_vae_{iteration + 1}.jpg")
+    fakes, fake_vaes = [], []
+    for _ in range(3):
+        key, kn, ks = jax.random.split(key, 3)
+        noise = jax.random.normal(kn, noise_init.shape)
+        fake, fake_vae = sample(state.g_params, state.g_state, noise, amps, ks)
+        fakes.append(np.asarray(fake))
+        fake_vaes.append(np.asarray(fake_vae))
+    saver.save_image(denorm(np.concatenate(fakes)[0:1]),
+                     f"fake_var_{iteration}.jpg")
+    saver.save_image(denorm(np.concatenate(fake_vaes)[0:1]),
+                     f"fake_vae_var{iteration}.jpg")
+
+
+def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
+                 step_callback=None):
+    """Full multi-scale run (the reference __main__ scale loop,
+    train_image.py:385-391). Returns (g_params, g_state, noise_amps, saver)."""
+    ndim = 2 if mode == "image" else 3
+    assert cfg.vae_levels > 0
+    assert cfg.disc_loss_weight > 0
+
+    saver = getattr(cfg, "saver", None) or DataSaver(cfg)
+    cfg.saver = saver
+
+    if mode == "image":
+        dataset = SingleImageDataset(cfg)
+    else:
+        dataset = SingleVideoDataset(cfg)
+
+    seed = seed if seed is not None else (cfg.manualSeed or 0)
+    key = jax.random.PRNGKey(seed)
+    key, kg = jax.random.split(key)
+    g_init = models.get_generator(cfg.generator, ndim)[0]
+    g_params, g_state = g_init(cfg, kg)
+
+    noise_amps: List[float] = []
+    cfg.scale_idx = 0
+    resumed_idx, resume_dir = -1, ""
+
+    # --- resume (train_image.py:361-379)
+    if cfg.netG:
+        import json
+        import os
+        inter_dir = os.path.dirname(cfg.intermediate)
+        with open(os.path.join(inter_dir, "intermediate.json")) as f:
+            inter = json.load(f)
+        noise_amps = list(inter["noise_amps"])
+        cfg.scale_idx = resumed_idx = int(inter["scale_idx"])
+        resume_dir = os.path.dirname(cfg.netG)
+        for _ in range(cfg.scale_idx):
+            key, kn = jax.random.split(key)
+            g_params, g_state = init_next_stage(cfg, g_params, g_state, kn, ndim)
+        from ..utils.saver import load_pytree
+        ckpt = load_pytree(cfg.netG)
+        g_params, g_state = ckpt["params"], ckpt["state"]
+        # the saved amps list already includes the resumed scale; retrain it
+        noise_amps = noise_amps[:cfg.scale_idx]
+
+    while cfg.scale_idx < cfg.stop_scale + 1:
+        if cfg.scale_idx > 0 and resumed_idx != cfg.scale_idx:
+            key, kn = jax.random.split(key)
+            g_params, g_state = init_next_stage(cfg, g_params, g_state, kn, ndim)
+        if mode == "video":
+            fps, td, fps_index = pyramid.get_fps_td_by_index(
+                cfg.scale_idx, cfg.stop_scale_time, cfg.sampling_rates,
+                cfg.org_fps, cfg.fps_lcm)
+            cfg.fps, cfg.td, cfg.fps_index = fps, td, fps_index
+            logging.info("scale %d: fps %.2f, time-depth %d, rate %d",
+                         cfg.scale_idx, fps, td,
+                         cfg.sampling_rates[fps_index])
+        t0 = time.time()
+        g_params, g_state, noise_amps, key = train_scale(
+            cfg, g_params, g_state, dataset, saver, noise_amps, key, ndim,
+            resumed_idx, resume_dir, step_callback)
+        logging.info("scale %d done in %.1fs (%.2f it/s)", cfg.scale_idx,
+                     time.time() - t0, cfg.niter / max(time.time() - t0, 1e-9))
+        cfg.scale_idx += 1
+
+    return g_params, g_state, noise_amps, saver

@@ -54,6 +54,9 @@ def configure_logging(filename: str = None) -> None:
     root = logging.getLogger()
     root.setLevel(logging.DEBUG)
     root.handlers = []
+    # keep third-party DEBUG chatter (jax tracing/compilation) out of the logbook
+    for noisy in ("jax", "jax._src", "matplotlib", "PIL"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
 
     console = logging.StreamHandler()
     console.setLevel(logging.INFO)

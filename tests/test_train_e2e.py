@@ -1,0 +1,67 @@
+"""Tiny end-to-end training runs (CPU): the minimum end-to-end slice of
+SURVEY §7 step 6 — scale loop, VAE phase, GAN phase with SN + WGAN-GP,
+noise-amp calibration, checkpointing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hpvaegan_tpu.config import Config
+from hpvaegan_tpu.training.trainer import run_training
+from hpvaegan_tpu.utils.saver import load_pytree
+
+IMG = os.path.join(os.path.dirname(__file__), "..", "data", "imgs",
+                   "air_balloons.jpg")
+VID = os.path.join(os.path.dirname(__file__), "..", "data", "vids",
+                   "synthetic.avi")
+
+
+def test_train_image_e2e(tmp_path):
+    cfg = Config(image_path=IMG, checkname="t", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=24, min_size=12,
+                 max_size=24, vae_levels=1, hflip=True, print_interval=100,
+                 run_dir=str(tmp_path), manualSeed=1).finalize()
+    n_scales = cfg.stop_scale + 1
+    assert n_scales >= 3
+    g_params, g_state, amps, saver = run_training(cfg, mode="image", seed=1)
+
+    # grown to all scales
+    assert len(g_params["body"]) == cfg.stop_scale
+    # noise amps: one per scale, scale 0 == 1.0, others calibrated > 0
+    assert len(amps) == n_scales
+    assert amps[0] == 1.0
+    assert all(a > 0 for a in amps)
+    # checkpoint contract (reference train_image.py:206-210)
+    inter = json.load(open(os.path.join(saver.experiment_dir,
+                                        "intermediate.json")))
+    assert inter["scale_idx"] == cfg.stop_scale
+    assert inter["noise_amps"] == amps
+    for k in range(n_scales):
+        assert os.path.exists(os.path.join(saver.experiment_dir,
+                                           f"netG_{k}.ckpt"))
+    # GAN scales saved a discriminator; VAE scales did not
+    assert not os.path.exists(os.path.join(saver.experiment_dir, "netD_0.ckpt"))
+    assert os.path.exists(os.path.join(saver.experiment_dir,
+                                       f"netD_{cfg.stop_scale}.ckpt"))
+    ckpt = load_pytree(os.path.join(saver.experiment_dir, "netG_0.ckpt"))
+    assert "params" in ckpt and "state" in ckpt
+    # params finite
+    flat = [np.asarray(x) for x in
+            __import__("jax").tree_util.tree_leaves(g_params)]
+    assert all(np.isfinite(a).all() for a in flat)
+
+
+@pytest.mark.slow
+def test_train_video_e2e(tmp_path):
+    cfg = Config(video_path=VID, checkname="tv", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=18, min_size=9,
+                 max_size=18, vae_levels=1, sampling_rates=[2, 1], max_frames=5,
+                 discriminator="WDiscriminator3D", print_interval=100,
+                 run_dir=str(tmp_path), manualSeed=1).finalize()
+    g_params, g_state, amps, saver = run_training(cfg, mode="video", seed=1)
+    assert len(amps) == cfg.stop_scale + 1
+    assert all(a > 0 for a in amps)
+    assert os.path.exists(os.path.join(saver.experiment_dir,
+                                       f"netG_{cfg.stop_scale}.ckpt"))
