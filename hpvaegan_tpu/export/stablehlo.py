@@ -1,0 +1,89 @@
+"""StableHLO export for native TPU serving.
+
+Replaces the reference's MindIR export (export.py:79-81:
+`mindspore.export(netG, noise_init, noise_amps, noise_init, MINDIR)`).
+The exported program is the random-mode generator forward with weights baked
+in as constants, taking:
+    noise_init : f32 (1, latent_dim, H0, W0)   -- NCHW, byte-compatible with
+                                                  the reference .bin contract
+    noise_amps : f32 (stop_scale+2,)
+    seed       : i32 ()                        -- per-stage refinement noise
+                                                  (the reference bakes its
+                                                  constexpr RNG as constants;
+                                                  a seed input is strictly
+                                                  more useful for serving)
+and returning f32 (1, nc_im, H, W) NCHW samples.
+
+Artifacts: <prefix>.stablehlo (jax.export serialized bytes, loadable with
+jax.export.deserialize, versioned + portable) and <prefix>.mlir (StableHLO
+text consumed by the native PJRT runner, native/pjrt_runner/).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from .. import models
+from ..utils import pyramid
+
+
+def make_serving_fn(cfg, g_params, g_state, ndim: int = 2):
+    """Pure serving fn over (noise_init_nchw, noise_amps, seed)."""
+    g_apply = models.get_generator(cfg.generator, ndim)[1]
+
+    def fn(noise_init, noise_amps, seed):
+        key = jax.random.PRNGKey(seed)
+        if ndim == 2:
+            z = jnp.transpose(noise_init, (0, 2, 3, 1))  # NCHW -> NHWC
+        else:
+            z = jnp.transpose(noise_init, (0, 2, 3, 4, 1))  # NCTHW -> NTHWC
+        out, _ = g_apply(cfg, g_params, g_state, video=None, amps=noise_amps,
+                         noise_init=z, key=key, is_random=True, train=False)
+        x = out[0]
+        if ndim == 2:
+            return jnp.transpose(x, (0, 3, 1, 2))
+        return jnp.transpose(x, (0, 4, 1, 2, 3))
+
+    return fn
+
+
+def serving_input_specs(cfg, ndim: int = 2,
+                        batch: int = 1) -> Tuple[jax.ShapeDtypeStruct, ...]:
+    h0, w0 = pyramid.scale_size_2d(0, cfg.scale_factor, cfg.stop_scale,
+                                   cfg.img_size, cfg.ar)
+    if ndim == 2:
+        z_shape = (batch, cfg.latent_dim, h0, w0)
+    else:
+        _, td0, _ = pyramid.get_fps_td_by_index(0, cfg.stop_scale_time,
+                                                cfg.sampling_rates, cfg.org_fps,
+                                                cfg.fps_lcm)
+        z_shape = (batch, cfg.latent_dim, td0, h0, w0)
+    return (jax.ShapeDtypeStruct(z_shape, jnp.float32),
+            jax.ShapeDtypeStruct((cfg.stop_scale + 2,), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.int32))
+
+
+def export_sampler(cfg, g_params, g_state, ndim: int = 2, batch: int = 1):
+    fn = make_serving_fn(cfg, g_params, g_state, ndim)
+    specs = serving_input_specs(cfg, ndim, batch)
+    return jax_export.export(jax.jit(fn))(*specs)
+
+
+def save_exported(exported, prefix: str) -> None:
+    with open(prefix + ".stablehlo", "wb") as f:
+        f.write(exported.serialize())
+    with open(prefix + ".mlir", "w") as f:
+        f.write(exported.mlir_module())
+
+
+def load_and_run_serialized(path: str, *args):
+    """Python-side runner for a serialized export (sanity/parity checks for
+    the native runner)."""
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    return exported.call(*[jnp.asarray(a) for a in args])

@@ -1,0 +1,178 @@
+"""SinGAN-style video baselines trainer (GeneratorCSG / GeneratorSG).
+
+Reference: train_video_baselines.py:21-196 — pure GAN at every scale (no VAE
+phase), a FIXED Z_init noise map for the reconstruction path, per-block
+freeze of all but the last train_depth stages (:66-68), head trained while
+scale_idx < train_depth, tail always trained (:77-83). The reference driver
+is broken as shipped (a PyTorch `.to(opt.device)` leftover at :340 and a
+loss cell that indexes VAE outputs the baselines don't produce); this is the
+working TPU-native equivalent. Z_init is persisted to the experiment dir so
+resume/eval reproduce the reconstruction path (the reference kept it only in
+memory)."""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import models
+from ..data.video import SingleVideoDataset, make_video_batch_fn
+from ..models import networks_3d
+from ..optim import adam
+from ..utils import pyramid
+from ..utils.progress import create_progressbar
+from ..utils.saver import DataSaver
+from .partition import lr_tree_for, make_baseline_lr_plan, split_params
+from .state import ScaleTrainState
+from .steps import make_d_step, make_g_step
+from .trainer import _amps_array
+
+_NEXT_STAGE = {
+    "GeneratorCSG": networks_3d.generator_csg_next_stage,
+    "GeneratorSG": networks_3d.generator_sg_next_stage,
+}
+
+
+def make_baseline_g_apply(base_apply, z_init):
+    """Adapt a baseline generator (noise-in only) to the hierarchical apply
+    signature used by the shared step builders: reconstruction mode feeds the
+    fixed Z_init; random mode feeds the provided noise."""
+
+    def g_apply(cfg, params, state, *, video=None, amps, noise_init=None,
+                sample_init=None, key, is_random=False, train=False,
+                compute_dtype=None):
+        if is_random:
+            z = noise_init
+        else:
+            b = video.shape[0] if video is not None else z_init.shape[0]
+            z = jnp.broadcast_to(z_init, (b,) + z_init.shape[1:])
+        out, new_state = base_apply(cfg, params, state, noise_init=z,
+                                    amps=amps, key=key, is_random=is_random,
+                                    train=train, compute_dtype=compute_dtype)
+        x = out[0]
+        return (x, x, None, None), new_state
+
+    return g_apply
+
+
+def run_training(cfg, seed: int = 0, step_callback=None):
+    """Full multi-scale baseline run. Returns (g_params, g_state, amps, saver)."""
+    saver = getattr(cfg, "saver", None) or DataSaver(cfg)
+    cfg.saver = saver
+    dataset = SingleVideoDataset(cfg)
+
+    key = jax.random.PRNGKey(seed)
+    key, kg, kz = jax.random.split(key, 3)
+    g_init, base_apply = models.get_generator(cfg.generator, 3)
+    next_stage = _NEXT_STAGE[cfg.generator]
+    g_params, g_state = g_init(cfg, kg)
+    d_init, d_apply = models.get_discriminator(cfg.discriminator, 3)
+
+    # fixed Z_init at scale-0 size with nc_im channels
+    # (train_video_baselines.py:41-44)
+    h0, w0 = pyramid.scale_size_2d(0, cfg.scale_factor, cfg.stop_scale,
+                                   cfg.img_size, cfg.ar)
+    _, td0, _ = pyramid.get_fps_td_by_index(0, cfg.stop_scale_time,
+                                            cfg.sampling_rates, cfg.org_fps,
+                                            cfg.fps_lcm)
+    z_init = jax.random.normal(kz, (1, td0, h0, w0, cfg.nc_im))
+    np.save(os.path.join(saver.experiment_dir, "Z_init.npy"),
+            np.asarray(z_init))
+    g_apply = make_baseline_g_apply(base_apply, z_init)
+
+    noise_amps: List[float] = []
+    cfg.scale_idx = 0
+    while cfg.scale_idx < cfg.stop_scale + 1:
+        scale_idx = cfg.scale_idx
+        if scale_idx > 0:
+            g_params, g_state = next_stage(cfg, g_params, g_state)
+        fps, td, fps_index = pyramid.get_fps_td_by_index(
+            scale_idx, cfg.stop_scale_time, cfg.sampling_rates, cfg.org_fps,
+            cfg.fps_lcm)
+        cfg.fps, cfg.td, cfg.fps_index = fps, td, fps_index
+
+        # fresh D, warm-started from the previous scale (baselines warm-start
+        # at EVERY scale > 0, train_video_baselines.py:51-54)
+        key, kd = jax.random.split(key)
+        d_params, d_state = d_init(cfg, kd)
+        if scale_idx > 0:
+            ckpt = saver.load_checkpoint(f"netD_{scale_idx - 1}.ckpt")
+            d_params, d_state = ckpt["params"], ckpt["state"]
+
+        plan = make_baseline_lr_plan(cfg, scale_idx, len(g_params["body"]),
+                                     has_head="head" in g_params,
+                                     has_tail="tail" in g_params)
+        trainable, _ = split_params(g_params, plan)
+        # baselines use plain Adam for G too (train_video_baselines.py:85)
+        from ..optim import clipped_adam
+        opt_g = clipped_adam(lr_tree_for(trainable, plan), cfg.beta1,
+                             grad_clip=float("inf"))
+        opt_d = adam(cfg.lr_d, cfg.beta1)
+
+        g_step = make_g_step(cfg, g_apply, d_apply, opt_g, plan,
+                             vae_phase=False)
+        d_step = make_d_step(cfg, g_apply, d_apply, opt_d)
+        from .steps import make_calibration
+        calib = make_calibration(cfg, g_apply)
+        batch_fn = make_video_batch_fn(cfg, scale_idx)
+        data_scale = dataset.scale_frames(scale_idx)
+        data_zero = dataset.scale_frames(0)
+
+        key, ks = jax.random.split(key)
+        state = ScaleTrainState(g_params, g_state, d_params, d_state,
+                                opt_g.init(trainable), opt_d.init(d_params), ks)
+
+        bar = create_progressbar(iterable=range(cfg.niter),
+                                 desc=f"Training scale [{scale_idx + 1}/"
+                                      f"{cfg.stop_scale + 1}]")
+        t0 = time.time()
+        for iteration in bar:
+            key, kb, kn = jax.random.split(key, 3)
+            real, real_zero, _ = batch_fn(data_scale, data_zero, kb)
+            # baselines draw noise at Z_init's shape, nc_im channels (:124)
+            noise_init = jax.random.normal(
+                kn, (cfg.batch_size,) + z_init.shape[1:])
+
+            if iteration == 0:
+                if scale_idx == 0:
+                    noise_amps.append(1.0)
+                else:
+                    noise_amps.append(0.0)
+                    key, kc = jax.random.split(key)
+                    rmse = calib(state.g_params, state.g_state, real, real_zero,
+                                 _amps_array(noise_amps, cfg.stop_scale), kc)
+                    noise_amps[-1] = cfg.noise_amp_init * float(rmse) / \
+                        cfg.batch_size
+                amps = _amps_array(noise_amps, cfg.stop_scale)
+
+            state, d_metrics = d_step(state, real, noise_init, amps)
+            state, metrics = g_step(state, real, real_zero, noise_init, amps)
+
+            if (iteration + 1) % cfg.print_interval == 0:
+                vals = {k: float(v) for k, v in {**metrics, **d_metrics}.items()}
+                logging.logbook("[Scale {}/Iter {}] {}".format(
+                    scale_idx + 1, iteration + 1,
+                    ", ".join(f"{k}: {v:.5f}" for k, v in sorted(vals.items()))))
+            if step_callback is not None:
+                step_callback(iteration, state, metrics)
+        bar.close()
+        logging.info("scale %d done in %.1fs", scale_idx, time.time() - t0)
+
+        saver.save_json({"noise_amps": noise_amps, "scale_idx": scale_idx},
+                        "intermediate.json")
+        saver.save_checkpoint({"params": state.g_params,
+                               "state": state.g_state},
+                              f"netG_{scale_idx}.ckpt")
+        saver.save_checkpoint({"params": state.d_params,
+                               "state": state.d_state},
+                              f"netD_{scale_idx}.ckpt")
+        g_params, g_state = state.g_params, state.g_state
+        cfg.scale_idx += 1
+
+    return g_params, g_state, noise_amps, saver

@@ -50,11 +50,36 @@ def make_lr_plan(cfg, scale_idx: int, body_len: int) -> Dict:
     return {"encode": enc_lr, "decoder": dec_lr, "body": body_lr}
 
 
+def make_baseline_lr_plan(cfg, scale_idx: int, body_len: int,
+                          has_head: bool = False,
+                          has_tail: bool = False) -> Dict:
+    """SinGAN-baseline plan (train_video_baselines.py:64-83): last train_depth
+    body stages at the LR ladder, head trains while scale_idx < train_depth,
+    tail always trains at lr_g."""
+    plan: Dict = {"body": [None] * body_len}
+    depth = min(cfg.train_depth, body_len)
+    for i in range(depth):
+        plan["body"][body_len - depth + i] = \
+            cfg.lr_g * (cfg.lr_scale ** (depth - 1 - i))
+    if has_head:
+        plan["head"] = (cfg.lr_g * (cfg.lr_scale ** scale_idx)
+                        if scale_idx - cfg.train_depth < 0 else None)
+    if has_tail:
+        plan["tail"] = cfg.lr_g
+    return plan
+
+
+def _group_names(plan: Dict):
+    return [k for k in plan.keys() if k != "body"]
+
+
 def split_params(params: Dict, plan: Dict) -> Tuple[Dict, Dict]:
-    """Split generator params into (trainable, frozen) by the LR plan."""
+    """Split generator params into (trainable, frozen) by the LR plan.
+    Works for any param tree with a 'body' list plus named top-level groups
+    (encode/decoder for HPVAEGAN, head/tail for the baselines)."""
     trainable: Dict = {"body": {}}
     frozen: Dict = {"body": {}}
-    for name in ("encode", "decoder"):
+    for name in _group_names(plan):
         (trainable if plan[name] is not None else frozen)[name] = params[name]
     for i, stage in enumerate(params["body"]):
         (trainable if plan["body"][i] is not None else frozen)["body"][i] = stage
@@ -64,11 +89,10 @@ def split_params(params: Dict, plan: Dict) -> Tuple[Dict, Dict]:
 def merge_params(trainable: Dict, frozen: Dict) -> Dict:
     """Inverse of split_params."""
     merged: Dict = {}
-    for name in ("encode", "decoder"):
-        if name in trainable:
-            merged[name] = trainable[name]
-        elif name in frozen:
-            merged[name] = frozen[name]
+    for src in (trainable, frozen):
+        for name, sub in src.items():
+            if name != "body":
+                merged[name] = sub
     body_idx = {**frozen["body"], **trainable["body"]}
     merged["body"] = [body_idx[i] for i in range(len(body_idx))]
     return merged
@@ -77,7 +101,7 @@ def merge_params(trainable: Dict, frozen: Dict) -> Dict:
 def lr_tree_for(trainable: Dict, plan: Dict):
     """Per-leaf LR tree matching the trainable subtree."""
     out: Dict = {"body": {}}
-    for name in ("encode", "decoder"):
+    for name in _group_names(plan):
         if name in trainable:
             out[name] = jax.tree_util.tree_map(lambda _: plan[name],
                                                trainable[name])

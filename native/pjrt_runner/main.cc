@@ -1,0 +1,414 @@
+// Native StableHLO inference runner over the PJRT C API.
+//
+// TPU-native equivalent of the reference Ascend310 runner
+// (ascend310_infer/src/main.cc): loads an exported StableHLO module
+// (export.py writes <netG>.mlir + compile_options.bin), dlopens a PJRT
+// plugin (libtpu.so on a TPU VM; any PJRT C-API plugin works), compiles the
+// module, loops over the .bin noise inputs, executes, writes output .bins
+// and an average-latency report to time_Result/test_perform_static.txt.
+//
+// Usage:
+//   ./pjrt_runner --plugin_path=/path/libtpu.so \
+//       --model_path=exp/infer/netG_9.mlir \
+//       --compile_options_path=exp/infer/compile_options.bin \
+//       --input0_path=exp/infer/noise_init \
+//       --input1_path=exp/infer/noise_amps \
+//       --input2_path=exp/infer/seed \
+//       --output_dir=exp/infer/result
+//
+// Input contract (matches preprocess.py): input0 = f32 noise_init bins
+// (one execution per file), input1 = f32 noise_amps bin, input2 = i32 seed
+// bin. Shapes are read from the sidecar "io_spec.txt" written by export.py.
+
+#include <dlfcn.h>
+#include <sys/stat.h>
+
+#include <chrono>
+#include <cstdint>
+#include <cstring>
+#include <fstream>
+#include <iostream>
+#include <map>
+#include <sstream>
+#include <string>
+#include <vector>
+
+#include "xla/pjrt/c/pjrt_c_api.h"
+
+namespace {
+
+std::map<std::string, std::string> ParseFlags(int argc, char** argv) {
+  std::map<std::string, std::string> flags;
+  for (int i = 1; i < argc; ++i) {
+    std::string arg = argv[i];
+    if (arg.rfind("--", 0) != 0) continue;
+    auto eq = arg.find('=');
+    if (eq == std::string::npos) continue;
+    std::string key = arg.substr(2, eq - 2);
+    std::string val = arg.substr(eq + 1);
+    if (key == "client_option") {
+      // repeated: accumulate ';'-separated
+      auto& cur = flags[key];
+      cur = cur.empty() ? val : cur + ";" + val;
+    } else {
+      flags[key] = val;
+    }
+  }
+  return flags;
+}
+
+// --client_option name=int:42 / name=str:hello (repeatable). Values live in
+// `storage`, which must outlive the returned PJRT_NamedValues.
+std::vector<PJRT_NamedValue> ParseClientOptions(
+    const std::string& spec, std::vector<std::string>* storage) {
+  std::vector<PJRT_NamedValue> out;
+  if (spec.empty()) return out;
+  // reserve so string pointers stay stable
+  size_t n = 1;
+  for (char c : spec) n += (c == ';');
+  storage->reserve(storage->size() + 2 * n);
+  std::istringstream ss(spec);
+  std::string item;
+  while (std::getline(ss, item, ';')) {
+    auto eq = item.find('=');
+    auto colon = item.find(':', eq);
+    if (eq == std::string::npos || colon == std::string::npos) continue;
+    storage->push_back(item.substr(0, eq));            // name
+    std::string type = item.substr(eq + 1, colon - eq - 1);
+    storage->push_back(item.substr(colon + 1));        // value
+    const std::string& name = (*storage)[storage->size() - 2];
+    const std::string& value = storage->back();
+    PJRT_NamedValue nv;
+    memset(&nv, 0, sizeof(nv));
+    nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    nv.extension_start = nullptr;
+    nv.name = name.c_str();
+    nv.name_size = name.size();
+    if (type == "int") {
+      nv.type = PJRT_NamedValue_kInt64;
+      nv.int64_value = std::stoll(value);
+    } else {
+      nv.type = PJRT_NamedValue_kString;
+      nv.string_value = value.c_str();
+      nv.value_size = value.size();
+    }
+    out.push_back(nv);
+  }
+  return out;
+}
+
+[[noreturn]] void Die(const std::string& msg) {
+  std::cerr << "pjrt_runner: " << msg << std::endl;
+  exit(1);
+}
+
+void Check(const PJRT_Api* api, PJRT_Error* err, const std::string& what) {
+  if (err == nullptr) return;
+  PJRT_Error_Message_Args margs;
+  margs.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
+  margs.extension_start = nullptr;
+  margs.error = err;
+  api->PJRT_Error_Message(&margs);
+  std::string msg(margs.message, margs.message_size);
+  PJRT_Error_Destroy_Args dargs;
+  dargs.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+  dargs.extension_start = nullptr;
+  dargs.error = err;
+  api->PJRT_Error_Destroy(&dargs);
+  Die(what + ": " + msg);
+}
+
+void AwaitEvent(const PJRT_Api* api, PJRT_Event* event,
+                const std::string& what) {
+  if (event == nullptr) return;
+  PJRT_Event_Await_Args args;
+  args.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+  args.extension_start = nullptr;
+  args.event = event;
+  Check(api, api->PJRT_Event_Await(&args), what);
+  PJRT_Event_Destroy_Args dargs;
+  dargs.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+  dargs.extension_start = nullptr;
+  dargs.event = event;
+  Check(api, api->PJRT_Event_Destroy(&dargs), what + " (destroy)");
+}
+
+std::string ReadFileToString(const std::string& path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) Die("cannot read " + path);
+  std::ostringstream ss;
+  ss << f.rdbuf();
+  return ss.str();
+}
+
+std::vector<std::string> GetAllFiles(const std::string& dir) {
+  // reference GetAllFiles (ascend310_infer/src/utils.cc:25-44), via popen to
+  // avoid a dirent dependency on sorted order
+  std::vector<std::string> files;
+  std::string cmd = "ls " + dir + "/*.bin 2>/dev/null | sort";
+  FILE* pipe = popen(cmd.c_str(), "r");
+  if (!pipe) return files;
+  char buf[4096];
+  while (fgets(buf, sizeof(buf), pipe)) {
+    std::string line(buf);
+    while (!line.empty() && (line.back() == '\n' || line.back() == '\r'))
+      line.pop_back();
+    if (!line.empty()) files.push_back(line);
+  }
+  pclose(pipe);
+  return files;
+}
+
+void WriteResult(const std::string& path, const void* data, size_t size) {
+  std::ofstream f(path, std::ios::binary);
+  if (!f) Die("cannot write " + path);
+  f.write(reinterpret_cast<const char*>(data), size);
+}
+
+struct IoSpec {
+  std::vector<std::vector<int64_t>> input_dims;
+  std::vector<PJRT_Buffer_Type> input_types;
+};
+
+// io_spec.txt: one line per input: "f32 1,128,33,33" / "s32" (scalar)
+IoSpec ReadIoSpec(const std::string& path) {
+  IoSpec spec;
+  std::ifstream f(path);
+  if (!f) Die("cannot read io spec " + path);
+  std::string line;
+  while (std::getline(f, line)) {
+    if (line.empty()) continue;
+    std::istringstream ss(line);
+    std::string type;
+    ss >> type;
+    if (type == "f32") spec.input_types.push_back(PJRT_Buffer_Type_F32);
+    else if (type == "s32") spec.input_types.push_back(PJRT_Buffer_Type_S32);
+    else Die("unknown dtype in io spec: " + type);
+    std::vector<int64_t> dims;
+    std::string rest;
+    ss >> rest;
+    if (!rest.empty()) {
+      std::istringstream ds(rest);
+      std::string tok;
+      while (std::getline(ds, tok, ',')) dims.push_back(std::stoll(tok));
+    }
+    spec.input_dims.push_back(dims);
+  }
+  return spec;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  auto flags = ParseFlags(argc, argv);
+  auto get = [&](const std::string& k, const std::string& dflt) {
+    auto it = flags.find(k);
+    return it == flags.end() ? dflt : it->second;
+  };
+  const std::string plugin_path = get("plugin_path", "libtpu.so");
+  const std::string model_path = get("model_path", "");
+  const std::string options_path = get("compile_options_path", "");
+  const std::string input0 = get("input0_path", "");
+  const std::string input1 = get("input1_path", "");
+  const std::string input2 = get("input2_path", "");
+  const std::string output_dir = get("output_dir", "result");
+  if (model_path.empty() || input0.empty())
+    Die("--model_path and --input0_path are required");
+
+  // --- load plugin
+  void* handle = dlopen(plugin_path.c_str(), RTLD_NOW | RTLD_LOCAL);
+  if (!handle) Die(std::string("dlopen failed: ") + dlerror());
+  using GetPjrtApiFn = const PJRT_Api* (*)();
+  auto get_api = reinterpret_cast<GetPjrtApiFn>(dlsym(handle, "GetPjrtApi"));
+  if (!get_api) Die("plugin has no GetPjrtApi symbol");
+  const PJRT_Api* api = get_api();
+
+  {
+    PJRT_Plugin_Initialize_Args args;
+    args.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
+    args.extension_start = nullptr;
+    Check(api, api->PJRT_Plugin_Initialize(&args), "plugin init");
+  }
+
+  // --- client
+  std::vector<std::string> option_storage;
+  std::vector<PJRT_NamedValue> client_options =
+      ParseClientOptions(get("client_option", ""), &option_storage);
+  PJRT_Client* client = nullptr;
+  {
+    PJRT_Client_Create_Args args;
+    args.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+    args.extension_start = nullptr;
+    args.create_options = client_options.data();
+    args.num_options = client_options.size();
+    args.kv_get_callback = nullptr;
+    args.kv_get_user_arg = nullptr;
+    args.kv_put_callback = nullptr;
+    args.kv_put_user_arg = nullptr;
+    args.client = nullptr;
+    Check(api, api->PJRT_Client_Create(&args), "client create");
+    client = args.client;
+  }
+
+  PJRT_Device* device = nullptr;
+  {
+    PJRT_Client_AddressableDevices_Args args;
+    args.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
+    args.extension_start = nullptr;
+    args.client = client;
+    Check(api, api->PJRT_Client_AddressableDevices(&args), "devices");
+    if (args.num_addressable_devices == 0) Die("no addressable devices");
+    device = args.addressable_devices[0];
+  }
+
+  // --- compile
+  std::string mlir = ReadFileToString(model_path);
+  std::string options =
+      options_path.empty() ? std::string() : ReadFileToString(options_path);
+  PJRT_LoadedExecutable* executable = nullptr;
+  {
+    PJRT_Program program;
+    program.struct_size = PJRT_Program_STRUCT_SIZE;
+    program.extension_start = nullptr;
+    program.code = mlir.data();
+    program.code_size = mlir.size();
+    static const char kFormat[] = "mlir";
+    program.format = kFormat;
+    program.format_size = sizeof(kFormat) - 1;
+
+    PJRT_Client_Compile_Args args;
+    args.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
+    args.extension_start = nullptr;
+    args.client = client;
+    args.program = &program;
+    args.compile_options = options.data();
+    args.compile_options_size = options.size();
+    args.executable = nullptr;
+    Check(api, api->PJRT_Client_Compile(&args), "compile");
+    executable = args.executable;
+  }
+  std::cerr << "compiled " << model_path << std::endl;
+
+  IoSpec spec = ReadIoSpec(
+      get("io_spec_path",
+          model_path.substr(0, model_path.find_last_of('/')) + "/io_spec.txt"));
+
+  // --- fixed inputs (amps, seed) loaded once
+  auto amps_files = GetAllFiles(input1);
+  auto seed_files = GetAllFiles(input2);
+  if (amps_files.empty() || seed_files.empty())
+    Die("missing noise_amps/seed bins");
+  std::string amps_data = ReadFileToString(amps_files[0]);
+  std::string seed_data = ReadFileToString(seed_files[0]);
+
+  auto make_buffer = [&](const void* data, size_t size,
+                         PJRT_Buffer_Type type,
+                         const std::vector<int64_t>& dims) {
+    PJRT_Client_BufferFromHostBuffer_Args args;
+    memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+    args.extension_start = nullptr;
+    args.client = client;
+    args.data = data;
+    args.type = type;
+    args.dims = dims.data();
+    args.num_dims = dims.size();
+    args.byte_strides = nullptr;
+    args.num_byte_strides = 0;
+    args.host_buffer_semantics =
+        PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+    args.device = device;
+    Check(api, api->PJRT_Client_BufferFromHostBuffer(&args), "h2d");
+    AwaitEvent(api, args.done_with_host_buffer, "h2d done");
+    return args.buffer;
+  };
+
+  mkdir(output_dir.c_str(), 0755);
+  mkdir("time_Result", 0755);
+
+  auto input_files = GetAllFiles(input0);
+  if (input_files.empty()) Die("no input bins in " + input0);
+  double total_ms = 0;
+  int runs = 0;
+
+  for (const auto& file : input_files) {
+    std::string noise = ReadFileToString(file);
+    auto t0 = std::chrono::steady_clock::now();
+
+    PJRT_Buffer* in0 = make_buffer(noise.data(), noise.size(),
+                                   spec.input_types[0], spec.input_dims[0]);
+    PJRT_Buffer* in1 = make_buffer(amps_data.data(), amps_data.size(),
+                                   spec.input_types[1], spec.input_dims[1]);
+    PJRT_Buffer* in2 = make_buffer(seed_data.data(), seed_data.size(),
+                                   spec.input_types[2], spec.input_dims[2]);
+
+    PJRT_Buffer* arg_list[3] = {in0, in1, in2};
+    PJRT_Buffer* const* arg_lists[1] = {arg_list};
+    PJRT_Buffer* out_list[1] = {nullptr};
+    PJRT_Buffer** out_lists[1] = {out_list};
+    PJRT_Event* device_complete[1] = {nullptr};
+
+    PJRT_ExecuteOptions opts;
+    memset(&opts, 0, sizeof(opts));
+    opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+    opts.extension_start = nullptr;
+
+    PJRT_LoadedExecutable_Execute_Args args;
+    memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+    args.extension_start = nullptr;
+    args.executable = executable;
+    args.options = &opts;
+    args.argument_lists = arg_lists;
+    args.num_devices = 1;
+    args.num_args = 3;
+    args.output_lists = out_lists;
+    args.device_complete_events = device_complete;
+    args.execute_device = device;
+    Check(api, api->PJRT_LoadedExecutable_Execute(&args), "execute");
+    AwaitEvent(api, device_complete[0], "execute done");
+
+    // --- output to host
+    PJRT_Buffer* out = out_list[0];
+    PJRT_Buffer_ToHostBuffer_Args th;
+    memset(&th, 0, sizeof(th));
+    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    th.extension_start = nullptr;
+    th.src = out;
+    th.dst = nullptr;  // size query
+    Check(api, api->PJRT_Buffer_ToHostBuffer(&th), "d2h size");
+    std::vector<char> host(th.dst_size);
+    th.dst = host.data();
+    Check(api, api->PJRT_Buffer_ToHostBuffer(&th), "d2h");
+    AwaitEvent(api, th.event, "d2h done");
+
+    auto t1 = std::chrono::steady_clock::now();
+    double ms =
+        std::chrono::duration<double, std::milli>(t1 - t0).count();
+    total_ms += ms;
+    runs += 1;
+
+    auto base = file.substr(file.find_last_of('/') + 1);
+    base = base.substr(0, base.find_last_of('.'));
+    WriteResult(output_dir + "/" + base + "_output_0.bin", host.data(),
+                host.size());
+
+    for (PJRT_Buffer* b : {in0, in1, in2, out}) {
+      PJRT_Buffer_Destroy_Args d;
+      d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+      d.extension_start = nullptr;
+      d.buffer = b;
+      Check(api, api->PJRT_Buffer_Destroy(&d), "buffer destroy");
+    }
+    std::cerr << file << ": " << ms << " ms" << std::endl;
+  }
+
+  // latency report (reference main.cc:127-143 contract)
+  double avg = total_ms / runs;
+  std::ofstream report("time_Result/test_perform_static.txt");
+  report << "NN inference cost average time: " << avg
+         << " ms of infer_count " << runs << std::endl;
+  std::cout << "NN inference cost average time: " << avg
+            << " ms of infer_count " << runs << std::endl;
+  return 0;
+}

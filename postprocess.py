@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Post-process for native inference (reference: postprocess.py): turn the
+PJRT runner's output .bin into PNGs and compute SIFID."""
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+from hpvaegan_tpu.config import Config
+from hpvaegan_tpu.metrics import calculate_SIFID
+from hpvaegan_tpu.utils import pyramid
+
+
+def post_process(cfg, exp_dir: str, result_dir: str, save_path: str = 'images'):
+    import imageio
+
+    h, w = pyramid.scale_size_2d(cfg.scale_idx, cfg.scale_factor,
+                                 cfg.stop_scale, cfg.img_size, cfg.ar)
+    out_dir = os.path.join(exp_dir, 'infer', save_path)
+    os.makedirs(out_dir, exist_ok=True)
+    bins = sorted(glob.glob(os.path.join(result_dir, '*.bin')))
+    assert bins, f'no runner outputs in {result_dir}'
+    for i, b in enumerate(bins):
+        arr = np.fromfile(b, np.float32).reshape(cfg.batch_size, cfg.nc_im,
+                                                 h, w)
+        img = ((arr.transpose(0, 2, 3, 1) + 1) * 127.5).clip(0, 255)
+        for j, im in enumerate(img):
+            imageio.imwrite(os.path.join(out_dir, f'fake_{i}_{j}.png'),
+                            im.astype(np.uint8))
+    return out_dir
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--exp-dir', type=str, required=True)
+    parser.add_argument('--result-dir', type=str, default='',
+                        help='runner output dir (default <exp-dir>/infer/result)')
+    parser.add_argument('--device-id', default=0, type=int)
+    parser.add_argument('--scale-idx', type=int, default=-1)
+    parser.add_argument('--batch-size', type=int, default=1)
+    args = parser.parse_args()
+
+    cfg = Config.from_args_txt(os.path.join(args.exp_dir, 'args.txt'),
+                               exceptions=['batch_size', 'scale_idx'])
+    cfg.batch_size = args.batch_size
+    cfg.scale_idx = args.scale_idx
+    if cfg.scale_idx == -1:
+        import json
+        with open(os.path.join(args.exp_dir, 'intermediate.json')) as f:
+            cfg.scale_idx = int(json.load(f)['scale_idx'])
+
+    result_dir = args.result_dir or os.path.join(args.exp_dir, 'infer',
+                                                 'result')
+    fake_dir = post_process(cfg, args.exp_dir, result_dir)
+    real_dir = os.path.dirname(os.path.abspath(cfg.image_path))
+    sifid = calculate_SIFID(real_dir, fake_dir)
+    print(f'SIFID: {sifid}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,45 @@
+#!/bin/bash
+# Native TPU inference pipeline (reference: scripts/run_infer_310.sh):
+#   export StableHLO -> build the PJRT runner -> run -> postprocess (SIFID).
+#
+# Usage: bash scripts/run_infer_tpu.sh EXPERIMENT_DIR [PJRT_PLUGIN_PATH]
+# PJRT_PLUGIN_PATH defaults to $PJRT_PLUGIN, then libtpu.so from the libtpu
+# wheel. Extra client options for non-standard plugins can be passed via
+# PJRT_CLIENT_OPTIONS="key=int:v;key=str:v".
+set -e
+if [ $# != 1 ] && [ $# != 2 ]; then
+    echo "Usage: bash scripts/run_infer_tpu.sh EXPERIMENT_DIR [PJRT_PLUGIN_PATH]"
+    exit 1
+fi
+exp_dir=$(realpath "$1")
+plugin=${2:-${PJRT_PLUGIN:-$(python3 -c 'import libtpu, os; print(os.path.join(os.path.dirname(libtpu.__file__), "libtpu.so"))')}}
+repo_dir=$(realpath "$(dirname "$0")/..")
+
+echo "== export =="
+python3 "$repo_dir/export.py" --exp-dir "$exp_dir"
+
+echo "== build runner =="
+bash "$repo_dir/native/pjrt_runner/build.sh" > /dev/null
+
+model=$(ls "$exp_dir"/infer/netG_*.mlir | head -1)
+opts=()
+if [ -n "$PJRT_CLIENT_OPTIONS" ]; then
+    IFS=';' read -ra kv <<< "$PJRT_CLIENT_OPTIONS"
+    for o in "${kv[@]}"; do opts+=("--client_option=$o"); done
+fi
+
+echo "== run =="
+cd "$exp_dir"
+"$repo_dir/native/pjrt_runner/out/pjrt_runner" \
+    --plugin_path="$plugin" \
+    --model_path="$model" \
+    --compile_options_path="$exp_dir/infer/compile_options.bin" \
+    --input0_path="$exp_dir/infer/noise_init" \
+    --input1_path="$exp_dir/infer/noise_amps" \
+    --input2_path="$exp_dir/infer/seed" \
+    --output_dir="$exp_dir/infer/result" \
+    "${opts[@]}"
+
+echo "== postprocess =="
+cd "$repo_dir"
+python3 postprocess.py --exp-dir "$exp_dir"
