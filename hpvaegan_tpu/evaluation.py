@@ -49,6 +49,17 @@ def load_generator(cfg, exp_dir: str, ndim: int, netG: str = ""):
     path = netG or os.path.join(exp_dir, f"netG_{cfg.scale_idx}.ckpt")
     if not os.path.isfile(path):
         raise RuntimeError(f"=> no <G> checkpoint found at '{path}'")
+    if path.endswith(".pth"):
+        # original PyTorch HP-VAE-GAN checkpoint (reference
+        # eval_image.py:157-162 via pt2ms)
+        from .tools.convert import (load_intermediate, load_torch_checkpoint,
+                                    p2j_HPVAEGAN)
+        raw = load_torch_checkpoint(path)
+        inter = load_intermediate(raw)
+        cfg.scale_idx = inter["scale_idx"]
+        cfg.Noise_Amps = inter["noise_amps"][:cfg.scale_idx + 1]
+        params, state = p2j_HPVAEGAN(raw, ndim=ndim)
+        return params, state, saver
     ckpt = load_pytree(path)
     return ckpt["params"], ckpt["state"], saver
 

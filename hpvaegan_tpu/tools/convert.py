@@ -1,0 +1,236 @@
+"""Cross-framework checkpoint conversion: original PyTorch HP-VAE-GAN
+checkpoints -> this framework's (params, state) pytrees.
+
+Equivalent of the reference's src/tools/pt2ms.py key remappers (which map the
+same torch checkpoints into MindSpore Cell names, pt2ms.py:8-197), including
+the pieces the reference left broken (stub m2m_HPVAEGAN_3d :191-192, missing
+m2m_WDiscriminator_3d).
+
+Torch layouts handled (the original SakiRinn/hp-vae-gan naming, visible in
+pt2ms.py's regexes):
+  netG: encode.features.conv_block_<i>.conv.{weight_orig,bias,weight_u,weight_v}
+        encode.{mu,logvar}.conv.{weight,bias}
+        {decoder,body.<k>}.{head,block<i>,tail}.{conv,norm}.*
+  netD: {head,body.block<i>}.conv.{weight_orig,...}, tail.{weight,bias}
+Weight transposes: torch OIHW -> HWIO (2D), OIDHW -> DHWIO (3D). Spectral-norm
+v vectors are re-permuted from torch's (I,KH,KW) flattening to ours
+((KH,KW,I)); one power-iteration step re-tightens them regardless.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _np(value):
+    if hasattr(value, "detach"):
+        value = value.detach().cpu().numpy()
+    return np.asarray(value, np.float32)
+
+
+def _conv_w(value, ndim: int):
+    w = _np(value)
+    if ndim == 2:
+        return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+    return np.transpose(w, (2, 3, 4, 1, 0))  # OIDHW -> DHWIO
+
+
+def _sn_v_perm(v, w_oihw, ndim: int):
+    """Permute torch's v over (I, *K) C-order flatten to ours over (*K, I)."""
+    v = _np(v).reshape(-1)
+    shape = w_oihw.shape  # (O, I, *K)
+    if ndim == 2:
+        o, i, kh, kw = shape
+        idx = np.arange(i * kh * kw).reshape(i, kh, kw)
+        perm = np.transpose(idx, (1, 2, 0)).reshape(-1)  # (kh,kw,i) order
+    else:
+        o, i, kd, kh, kw = shape
+        idx = np.arange(i * kd * kh * kw).reshape(i, kd, kh, kw)
+        perm = np.transpose(idx, (1, 2, 3, 0)).reshape(-1)
+    # perm[r] = torch column index for our row r; gather directly
+    return v[perm]
+
+
+def _set(tree: Dict, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _stack_to_conv_stack(keys_values, ndim: int) -> Tuple[Dict, Dict]:
+    """Convert a torch head/block<i>/tail stack (the decoder or one body
+    stage) to our conv_stack {blocks: [...], tail: {...}} params/state."""
+    blocks_p: Dict[int, Dict] = {}
+    blocks_s: Dict[int, Dict] = {}
+    tail = {}
+    for key, value in keys_values:
+        if key.startswith("head."):
+            idx, rest = 0, key[len("head."):]
+        elif key.startswith("tail."):
+            # plain conv tail: tail.weight / tail.bias
+            name = key[len("tail."):]
+            if name == "weight":
+                tail["w"] = _conv_w(value, ndim)
+            elif name == "bias":
+                tail["b"] = _np(value)
+            continue
+        else:
+            m = re.match(r"block(\d+)\.(.*)", key)
+            if not m:
+                continue
+            idx, rest = int(m.group(1)) + 1, m.group(2)
+        bp = blocks_p.setdefault(idx, {})
+        bs = blocks_s.setdefault(idx, {})
+        if rest == "conv.weight":
+            bp.setdefault("conv", {})["w"] = _conv_w(value, ndim)
+        elif rest == "conv.bias":
+            bp.setdefault("conv", {})["b"] = _np(value)
+        elif rest == "norm.weight":
+            bp.setdefault("bn", {})["gamma"] = _np(value)
+        elif rest == "norm.bias":
+            bp.setdefault("bn", {})["beta"] = _np(value)
+        elif rest == "norm.running_mean":
+            bs.setdefault("bn", {})["mean"] = _np(value)
+        elif rest == "norm.running_var":
+            bs.setdefault("bn", {})["var"] = _np(value)
+    n = max(blocks_p) + 1 if blocks_p else 0
+    return ({"blocks": [blocks_p[i] for i in range(n)], "tail": tail},
+            {"blocks": [blocks_s.get(i, {}) for i in range(n)]})
+
+
+def _sn_conv(entries, ndim: int) -> Tuple[Dict, Dict]:
+    """torch SN conv entries {weight_orig, bias, weight_u, weight_v} ->
+    ({snconv: {w, b}}, {sn: {u, v}})."""
+    params, state = {"snconv": {}}, {"sn": {}}
+    w_oihw = None
+    for name, value in entries.items():
+        if name == "weight_orig" or name == "weight":
+            w_oihw = _np(value)
+            params["snconv"]["w"] = _conv_w(value, ndim)
+        elif name == "bias":
+            params["snconv"]["b"] = _np(value)
+        elif name == "weight_u":
+            state["sn"]["u"] = _np(value).reshape(-1)
+    if "weight_v" in entries and w_oihw is not None:
+        state["sn"]["v"] = _sn_v_perm(entries["weight_v"], w_oihw, ndim)
+    # checkpoints saved without the SN hook vectors: synthesize normalized
+    # ones (one power-iteration step re-converges them)
+    if w_oihw is not None:
+        rng = np.random.RandomState(0)
+        if "u" not in state["sn"]:
+            u = rng.standard_normal(w_oihw.shape[0]).astype(np.float32)
+            state["sn"]["u"] = u / max(np.linalg.norm(u), 1e-12)
+        if "v" not in state["sn"]:
+            v = rng.standard_normal(int(np.prod(w_oihw.shape[1:]))
+                                    ).astype(np.float32)
+            state["sn"]["v"] = v / max(np.linalg.norm(v), 1e-12)
+    return params, state
+
+
+def _collect_sn_stack(items, ndim: int):
+    """List of (block_idx, param_name, value) -> ([params], [states])."""
+    by_idx: Dict[int, Dict] = {}
+    for idx, name, value in items:
+        by_idx.setdefault(idx, {})[name] = value
+    n = max(by_idx) + 1 if by_idx else 0
+    params, states = [], []
+    for i in range(n):
+        p, s = _sn_conv(by_idx[i], ndim)
+        params.append(p), states.append(s)
+    return params, states
+
+
+def p2j_HPVAEGAN(netG_pth, ndim: int = 2) -> Tuple[Dict, Dict]:
+    """Torch GeneratorHPVAEGAN state_dict -> (params, state)
+    (reference: p2m_HPVAEGAN_2d/3d, pt2ms.py:30-89,129-188)."""
+    sd = netG_pth["state_dict"] if "state_dict" in netG_pth else netG_pth
+    params: Dict = {"encode": {}, "decoder": {}, "body": []}
+    state: Dict = {"encode": {}, "decoder": {}, "body": []}
+
+    feat_items = []
+    enc_heads: Dict[str, Dict] = {"mu": {}, "logvar": {}, "bern": {}}
+    dec_items = []
+    body_items: Dict[int, list] = {}
+
+    for key, value in sd.items():
+        if "num_batches_tracked" in key:
+            continue
+        if key.startswith("encode."):
+            rest = key[len("encode."):]
+            m = re.match(r"features\.conv_block_(\d+)\.conv\.(.*)", rest)
+            if m:
+                feat_items.append((int(m.group(1)), m.group(2), value))
+                continue
+            m = re.match(r"(mu|logvar|bern)\.conv\.(.*)", rest)
+            if m:
+                enc_heads[m.group(1)][m.group(2)] = value
+                continue
+        elif key.startswith("decoder."):
+            dec_items.append((key[len("decoder."):], value))
+        elif key.startswith("body."):
+            m = re.match(r"body\.(\d+)\.(.*)", key)
+            if m:
+                body_items.setdefault(int(m.group(1)), []).append(
+                    (m.group(2), value))
+
+    fp, fs = _collect_sn_stack(feat_items, ndim)
+    params["encode"]["features"] = fp
+    state["encode"]["features"] = fs
+    for name in ("mu", "logvar", "bern"):
+        if enc_heads[name]:
+            params["encode"][name] = {
+                "w": _conv_w(enc_heads[name]["weight"], ndim),
+                "b": _np(enc_heads[name]["bias"]),
+            }
+
+    params["decoder"], state["decoder"] = _stack_to_conv_stack(dec_items, ndim)
+    for k in sorted(body_items):
+        sp, ss = _stack_to_conv_stack(body_items[k], ndim)
+        params["body"].append(sp)
+        state["body"].append(ss)
+    return params, state
+
+
+def p2j_WDiscriminator(netD_pth, ndim: int = 2) -> Tuple[Dict, Dict]:
+    """Torch WDiscriminator state_dict -> (params, state)
+    (reference: p2m_WDiscriminator_2d/3d, pt2ms.py:8-27,107-126)."""
+    sd = netD_pth["state_dict"] if "state_dict" in netD_pth else netD_pth
+    head_entries: Dict = {}
+    body_items = []
+    tail: Dict = {}
+    for key, value in sd.items():
+        if key.startswith("head.conv."):
+            head_entries[key[len("head.conv."):]] = value
+        elif key.startswith("body."):
+            m = re.match(r"body\.block(\d+)\.conv\.(.*)", key)
+            if m:
+                body_items.append((int(m.group(1)), m.group(2), value))
+        elif key.startswith("tail."):
+            name = key[len("tail."):]
+            if name == "weight":
+                tail["w"] = _conv_w(value, ndim)
+            elif name == "bias":
+                tail["b"] = _np(value)
+    hp, hs = _sn_conv(head_entries, ndim)
+    bp, bs = _collect_sn_stack(body_items, ndim)
+    return ({"head": hp, "body": bp, "tail": tail},
+            {"head": hs, "body": bs})
+
+
+def load_intermediate(netG_pth) -> Dict:
+    """{noise_amps, scale_idx} from a torch checkpoint
+    (reference: pt2ms.py:195-197)."""
+    return {"noise_amps": list(map(float, netG_pth["noise_amps"])),
+            "scale_idx": int(netG_pth["scale"])}
+
+
+def load_torch_checkpoint(path: str):
+    """torch.load with CPU mapping (torch is an optional dependency,
+    reference eval_image.py:157-158)."""
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
