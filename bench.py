@@ -39,13 +39,14 @@ def log(*a):
 def build(scale_idx: int, compute_dtype: str):
     from hpvaegan_tpu import models
     from hpvaegan_tpu.config import Config
-    from hpvaegan_tpu.data.image import SingleImageDataset, make_image_batch_fn
+    from hpvaegan_tpu.data.image import (SingleImageDataset,
+                                         make_image_batch_body)
     from hpvaegan_tpu.models.networks_2d import generator_init_next_stage
     from hpvaegan_tpu.optim import adam, clipped_adam
     from hpvaegan_tpu.training.partition import (lr_tree_for, make_lr_plan,
                                                  split_params)
     from hpvaegan_tpu.training.state import ScaleTrainState
-    from hpvaegan_tpu.training.steps import make_d_step, make_g_step
+    from hpvaegan_tpu.training.steps import make_train_chunk
 
     cfg = Config(image_path="data/imgs/air_balloons.jpg",
                  compute_dtype=compute_dtype).finalize()
@@ -71,42 +72,40 @@ def build(scale_idx: int, compute_dtype: str):
                             jax.random.PRNGKey(2))
 
     vae_phase = cfg.vae_levels >= scale_idx + 1
-    g_step = make_g_step(cfg, g_apply, d_apply, opt_g, plan, vae_phase)
-    d_step = make_d_step(cfg, g_apply, d_apply, opt_d)
-    batch_fn = make_image_batch_fn(cfg, scale_idx)
+    batch_body = make_image_batch_body(cfg, scale_idx)
+    chunk = make_train_chunk(cfg, g_apply, d_apply, opt_g, opt_d, plan,
+                             vae_phase, batch_body, cfg.steps_per_call)
     data_scale = dataset.scale_image(scale_idx)
     data_zero = dataset.scale_image(0)
     amps = jnp.concatenate([jnp.ones((scale_idx + 1,)),
                             jnp.zeros((cfg.stop_scale + 1 - scale_idx,))])
-    return (cfg, state, g_step, d_step, batch_fn, data_scale, data_zero, amps,
-            vae_phase)
+    return cfg, state, chunk, data_scale, data_zero, amps
 
 
-def bench_scale(scale_idx: int, iters: int = 20, warmup: int = 3,
+def bench_scale(scale_idx: int, iters: int = 20, warmup: int = 2,
                 compute_dtype: str = "float32") -> float:
-    (cfg, state, g_step, d_step, batch_fn, data_scale, data_zero, amps,
-     vae_phase) = build(scale_idx, compute_dtype)
-    key = jax.random.PRNGKey(7)
+    """steps/sec of the fused training chunk (the trainer's real dispatch
+    pattern: `steps_per_call` full D+G iterations per XLA launch).
 
-    def one_iter(state, k):
-        real, real_zero, noise_init = batch_fn(data_scale, data_zero, k)
-        if not vae_phase:
-            state, _ = d_step(state, real, noise_init, amps)
-        state, m = g_step(state, real, real_zero, noise_init, amps)
-        return state, m
+    NOTE: completion is forced with a scalar host readback of the last
+    chunk's loss — on remote-device transports (the axon tunnel here)
+    jax.block_until_ready can return before execution finishes, which
+    silently inflates throughput by >10x."""
+    import numpy as np
 
-    for i in range(warmup):
-        key, k = jax.random.split(key)
-        state, m = one_iter(state, k)
-    jax.block_until_ready(state.g_params)
+    cfg, state, chunk, data_scale, data_zero, amps = build(scale_idx,
+                                                           compute_dtype)
+    for _ in range(warmup):
+        state, m = chunk(state, data_scale, data_zero, amps)
+    float(np.asarray(m["g_loss"]))  # true completion barrier
 
+    n_chunks = max(1, iters // cfg.steps_per_call)
     t0 = time.perf_counter()
-    for i in range(iters):
-        key, k = jax.random.split(key)
-        state, m = one_iter(state, k)
-    jax.block_until_ready(state.g_params)
+    for _ in range(n_chunks):
+        state, m = chunk(state, data_scale, data_zero, amps)
+    float(np.asarray(m["g_loss"]))  # depends on every prior step
     dt = time.perf_counter() - t0
-    return iters / dt
+    return n_chunks * cfg.steps_per_call / dt
 
 
 def main():

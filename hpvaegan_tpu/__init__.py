@@ -21,3 +21,27 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compilation_cache():
+    """Per-scale programs recompile identically across runs (SURVEY §7 'hard
+    parts': per-scale shape polymorphism). A persistent on-disk cache makes
+    re-runs and resumes pay compile cost once per (scale, shape) ever.
+    Override the location with JAX_COMPILATION_CACHE_DIR; disable by setting
+    it to empty."""
+    import os
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/hpvaegan_jax"))
+    if not cache_dir:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compilation_cache()

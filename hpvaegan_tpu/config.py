@@ -84,6 +84,8 @@ class Config:
 
     # --- TPU-native additions (no reference equivalent) ---
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' for conv compute
+    steps_per_call: int = 8  # training iterations fused per XLA dispatch
+    #                          (lax.scan chunk; 1 = reference-like stepping)
     bug_compat: bool = False  # replicate reference bugs (frozen GP alpha,
     #                           severed adversarial G gradient: losses.py:26,94)
     mesh_data: int = 1  # data-parallel mesh axis size (batched sampling/training)

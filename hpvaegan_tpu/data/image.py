@@ -56,15 +56,15 @@ class SingleImageDataset:
         return self._cache[scale_idx]
 
 
-def make_image_batch_fn(cfg, scale_idx: int):
-    """Jitted batch former: (scale_img, zero_img, key) ->
-    (real, real_zero, noise_init), all [-1,1] channels-last."""
+def make_image_batch_body(cfg, scale_idx: int):
+    """Unjitted batch former (composable into scan chunks):
+    (scale_img, zero_img, key) -> (real, real_zero, noise_init),
+    all [-1,1] channels-last."""
     h0, w0 = pyramid.scale_size_2d(0, cfg.scale_factor, cfg.stop_scale,
                                    cfg.img_size, cfg.ar)
     batch = cfg.batch_size
     use_hflip = cfg.hflip
 
-    @jax.jit
     def make_batch(scale_img, zero_img, key):
         k_flip, k_noise = jax.random.split(key)
         real = jnp.tile(scale_img, (batch, 1, 1, 1))
@@ -81,3 +81,8 @@ def make_image_batch_fn(cfg, scale_idx: int):
         return real, real_zero, noise_init
 
     return make_batch
+
+
+def make_image_batch_fn(cfg, scale_idx: int):
+    """Jitted batch former (single-call use)."""
+    return jax.jit(make_image_batch_body(cfg, scale_idx))

@@ -57,8 +57,8 @@ class SingleVideoDataset:
         return self._cache[scale_idx]
 
 
-def make_video_batch_fn(cfg, scale_idx: int):
-    """Jitted batch former for scale `scale_idx`:
+def make_video_batch_body(cfg, scale_idx: int):
+    """Unjitted batch former for scale `scale_idx`:
     (scale_frames, zero_frames, key) -> (real, real_zero, noise_init).
 
     Windows: frames[i : i+fps_lcm+1 : every] with `every` =
@@ -80,7 +80,6 @@ def make_video_batch_fn(cfg, scale_idx: int):
     window = cfg.fps_lcm + 1
     use_hflip = cfg.hflip
 
-    @jax.jit
     def make_batch(scale_frames, zero_frames, key):
         k_start, k_flip, k_noise = jax.random.split(key, 3)
         t_full = scale_frames.shape[1]
@@ -103,3 +102,8 @@ def make_video_batch_fn(cfg, scale_idx: int):
         return real, real_zero, noise_init
 
     return make_batch
+
+
+def make_video_batch_fn(cfg, scale_idx: int):
+    """Jitted batch former (single-call use)."""
+    return jax.jit(make_video_batch_body(cfg, scale_idx))

@@ -46,12 +46,16 @@ def _conv(x, w, stride, padding, dims2d: bool, compute_dtype=None):
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    # No preferred_element_type when down-casting: a mixed bf16-operand /
+    # f32-output conv is not transposable under jax.grad (the WGAN-GP
+    # double-backward hits that). MXU accumulation is f32 internally for
+    # bf16 operands regardless; the cast back to in_dtype keeps the rest of
+    # the graph (losses, optimizer) in f32.
     out = lax.conv_general_dilated(
         x, w,
         window_strides=(stride,) * n_spatial,
         padding=padding,
         dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
     )
     return out.astype(in_dtype)
 

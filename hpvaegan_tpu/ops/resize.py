@@ -1,4 +1,5 @@
-"""Separable linear resize as MXU matmuls (TPU-native align-corners resize).
+"""Separable linear resize as per-axis gather+lerp (TPU-native align-corners
+resize; exact f32 on the VPU, fully fusible by XLA).
 
 The reference needs two interpolation semantics:
   * align_corners=True bilinear/trilinear inside the model
@@ -7,10 +8,12 @@ The reference needs two interpolation semantics:
   * half-pixel bilinear (cv2.INTER_LINEAR, no antialias) in the data pipeline
     (reference: src/datasets/image.py:75, src/datasets/generate_frames.py:44-46)
 
-Linear interpolation along an axis is a (n_out x n_in) linear map, so a separable
-N-D resize is a chain of small dense matmuls — exactly what the TPU MXU wants,
-and far friendlier to XLA than gather-based resampling. Matrices are built on the
-host at trace time (static shapes) and constant-folded into the executable.
+Each linear-resampled output touches exactly 2 inputs, so the kernel is a
+per-axis 2-tap gather + lerp with indices/fractions precomputed on the host at
+trace time (static shapes, constant-folded). A dense interpolation-matrix
+matmul (the first implementation here) maps onto the MXU but wastes ~n_in/2 x
+the FLOPs and needs HIGHEST-precision passes for exactness — measured slower
+end-to-end than the VPU lerp on v5e.
 
 jax.image.resize is NOT used: its 'linear' mode is half-pixel with antialiased
 downsampling, which matches neither semantics above.
@@ -49,18 +52,44 @@ def _interp_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
     return w
 
 
+@functools.lru_cache(maxsize=None)
+def _interp_gather(n_in: int, n_out: int, align_corners: bool):
+    """(lo_idx, hi_idx, frac) arrays for 2-tap linear interpolation."""
+    lo = np.zeros((n_out,), np.int32)
+    hi = np.zeros((n_out,), np.int32)
+    frac = np.zeros((n_out,), np.float32)
+    for i in range(n_out):
+        if n_in == 1:
+            continue
+        if align_corners:
+            src = i * (n_in - 1) / (n_out - 1) if n_out > 1 else 0.0
+        else:
+            src = (i + 0.5) * n_in / n_out - 0.5
+        src = min(max(src, 0.0), n_in - 1)
+        lo[i] = int(np.floor(src))
+        hi[i] = min(lo[i] + 1, n_in - 1)
+        frac[i] = src - lo[i]
+    return lo, hi, frac
+
+
 def _resize_axis(x: jnp.ndarray, axis: int, n_out: int,
                  align_corners: bool) -> jnp.ndarray:
+    """2-tap gather + lerp along one axis.
+
+    Each output sample touches exactly 2 inputs, so a dense interpolation
+    matmul (the obvious MXU mapping) wastes ~n_in/2 x the FLOPs and — for
+    exactness — needs HIGHEST-precision passes; the gather+lerp form is a
+    bandwidth-bound VPU op, exact in f32, and fuses into neighbors."""
     n_in = x.shape[axis]
     if n_in == n_out:
         return x
-    mat = jnp.asarray(_interp_matrix(n_in, n_out, align_corners), dtype=x.dtype)
-    # (n_out, n_in) . x[..., n_in, ...] -> leading n_out axis, then restore
-    # position. HIGHEST precision: the default TPU matmul is bf16 on the MXU,
-    # which would quantize the interpolation (pyramid parity is load-bearing).
-    out = jnp.tensordot(mat, x, axes=[[1], [axis]],
-                        precision=jax.lax.Precision.HIGHEST)
-    return jnp.moveaxis(out, 0, axis)
+    lo, hi, frac = _interp_gather(n_in, n_out, align_corners)
+    x_lo = jnp.take(x, jnp.asarray(lo), axis=axis)
+    x_hi = jnp.take(x, jnp.asarray(hi), axis=axis)
+    fshape = [1] * x.ndim
+    fshape[axis] = n_out
+    f = jnp.asarray(frac, x.dtype).reshape(fshape)
+    return x_lo + (x_hi - x_lo) * f
 
 
 def resize_linear(x: jnp.ndarray, axes: Sequence[int], sizes: Sequence[int],

@@ -28,11 +28,17 @@ def _cdtype(cfg):
 
 def make_g_step(cfg, g_apply: Callable, d_apply: Callable, opt_g, plan,
                 vae_phase: bool):
-    """VAE-phase or GAN-phase generator update (reference: losses.py:59-107 +
-    train_image.py:152-159)."""
-    cd = _cdtype(cfg)
+    """Jitted single G update."""
+    core = _g_step_core(cfg, g_apply, d_apply, opt_g, plan, vae_phase,
+                        _cdtype(cfg))
+    return functools.partial(jax.jit, donate_argnums=(0,))(core)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+
+def _g_step_core(cfg, g_apply: Callable, d_apply: Callable, opt_g, plan,
+                 vae_phase: bool, cd):
+    """VAE-phase or GAN-phase generator update (reference: losses.py:59-107 +
+    train_image.py:152-159). Unjitted core, composable into scan chunks."""
+
     def g_step(state: ScaleTrainState, real, real_zero, noise_init, amps):
         key, k_rec, k_fake = jax.random.split(state.key, 3)
         trainable, frozen = split_params(state.g_params, plan)
@@ -73,11 +79,15 @@ def make_g_step(cfg, g_apply: Callable, d_apply: Callable, opt_g, plan,
 
 
 def make_d_step(cfg, g_apply: Callable, d_apply: Callable, opt_d):
-    """WGAN-GP discriminator update (reference: losses.py:17-52 +
-    train_image.py:157)."""
-    cd = _cdtype(cfg)
+    """Jitted single D update."""
+    core = _d_step_core(cfg, g_apply, d_apply, opt_d, _cdtype(cfg))
+    return functools.partial(jax.jit, donate_argnums=(0,))(core)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+
+def _d_step_core(cfg, g_apply: Callable, d_apply: Callable, opt_d, cd):
+    """WGAN-GP discriminator update (reference: losses.py:17-52 +
+    train_image.py:157). Unjitted core, composable into scan chunks."""
+
     def d_step(state: ScaleTrainState, real, noise_init, amps):
         key, k_fake, k_alpha = jax.random.split(state.key, 3)
         out, _ = g_apply(cfg, state.g_params, state.g_state, video=None,
@@ -111,6 +121,47 @@ def make_d_step(cfg, g_apply: Callable, d_apply: Callable, opt_d):
                                new_dstate, state.opt_g, new_opt_d, key), metrics
 
     return d_step
+
+
+def make_train_chunk(cfg, g_apply: Callable, d_apply: Callable, opt_g, opt_d,
+                     plan, vae_phase: bool, batch_body: Callable,
+                     steps_per_call: int):
+    """Fuse `steps_per_call` full training iterations (batch forming + D step
+    + G step) into ONE jitted lax.scan program.
+
+    Host dispatch is the bottleneck for small scales on TPU (and doubly so
+    through a remote-device tunnel): the reference pays 2 graph launches +
+    host data feeding per iteration; this pays 1/steps_per_call launches per
+    iteration with zero host->device traffic.
+
+    batch_body(data_scale, data_zero, key) -> (real, real_zero, noise_init)
+    must be jit-traceable (the make_*_batch_fn inner functions are).
+    """
+    cd = _cdtype(cfg)
+    g_step = _g_step_core(cfg, g_apply, d_apply, opt_g, plan, vae_phase, cd)
+    d_step = _d_step_core(cfg, g_apply, d_apply, opt_d, cd)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chunk(state: ScaleTrainState, data_scale, data_zero, amps):
+        def body(carry, _):
+            st = carry
+            key, kb = jax.random.split(st.key)
+            st = ScaleTrainState(st.g_params, st.g_state, st.d_params,
+                                 st.d_state, st.opt_g, st.opt_d, key)
+            real, real_zero, noise_init = batch_body(data_scale, data_zero, kb)
+            if not vae_phase:
+                st, d_metrics = d_step(st, real, noise_init, amps)
+            else:
+                d_metrics = {}
+            st, metrics = g_step(st, real, real_zero, noise_init, amps)
+            metrics.update(d_metrics)
+            return st, metrics
+
+        state, metrics = jax.lax.scan(body, state, None, length=steps_per_call)
+        # last-iteration metrics
+        return state, {k: v[-1] for k, v in metrics.items()}
+
+    return chunk
 
 
 def make_calibration(cfg, g_apply: Callable):

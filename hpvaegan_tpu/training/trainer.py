@@ -23,16 +23,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import models
-from ..data.image import SingleImageDataset, make_image_batch_fn
-from ..data.video import SingleVideoDataset, make_video_batch_fn
+from ..data.image import SingleImageDataset, make_image_batch_body
+from ..data.video import SingleVideoDataset, make_video_batch_body
 from ..optim import adam, clipped_adam
 from ..utils import pyramid
 from ..utils.progress import create_progressbar
 from ..utils.saver import DataSaver
 from .partition import lr_tree_for, make_lr_plan, split_params
 from .state import ScaleTrainState
-from .steps import make_calibration, make_d_step, make_g_step, make_recon, \
-    make_sampler
+from .steps import (make_calibration, make_d_step, make_g_step, make_recon,
+                    make_sampler, make_train_chunk)
 
 
 def _amps_array(noise_amps: List[float], stop_scale: int) -> jnp.ndarray:
@@ -84,66 +84,71 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
     opt_d_state = opt_d.init(d_params)
 
     # --- jitted programs for this scale
-    g_step = make_g_step(cfg, g_apply, d_apply, opt_g, plan, vae_phase)
-    d_step = make_d_step(cfg, g_apply, d_apply, opt_d)
     calib = make_calibration(cfg, g_apply)
     if ndim == 2:
-        batch_fn = make_image_batch_fn(cfg, scale_idx)
+        batch_body = make_image_batch_body(cfg, scale_idx)
         data_scale = dataset.scale_image(scale_idx)
         data_zero = dataset.scale_image(0)
     else:
-        batch_fn = make_video_batch_fn(cfg, scale_idx)
+        batch_body = make_video_batch_body(cfg, scale_idx)
         data_scale = dataset.scale_frames(scale_idx)
         data_zero = dataset.scale_frames(0)
+    batch_fn = jax.jit(batch_body)
+
+    # Fused iteration chunks: `steps_per_call` iterations (batch + D + G)
+    # per XLA dispatch. Host dispatch dominates small scales on TPU.
+    spc = max(1, min(cfg.steps_per_call, cfg.niter))
+    chunk = make_train_chunk(cfg, g_apply, d_apply, opt_g, opt_d, plan,
+                             vae_phase, batch_body, spc)
+    rem = cfg.niter % spc
+    chunk_rem = None
+    if rem:
+        chunk_rem = make_train_chunk(cfg, g_apply, d_apply, opt_g, opt_d,
+                                     plan, vae_phase, batch_body, rem)
 
     key, ks = jax.random.split(key)
     state = ScaleTrainState(g_params, g_state, d_params, d_state,
                             opt_g_state, opt_d_state, ks)
 
+    # --- noise-amp calibration (train_image.py:134-148): one host sync/scale
+    if cfg.const_amp:
+        noise_amps.append(1.0)
+    elif scale_idx == 0:
+        noise_amps.append(1.0)
+    else:
+        noise_amps.append(0.0)
+        key, kb, kc = jax.random.split(key, 3)
+        real, real_zero, _ = batch_fn(data_scale, data_zero, kb)
+        rmse = calib(state.g_params, state.g_state, real, real_zero,
+                     _amps_array(noise_amps, cfg.stop_scale), kc)
+        noise_amps[-1] = cfg.noise_amp_init * float(rmse) / cfg.batch_size
+    amps = _amps_array(noise_amps, cfg.stop_scale)
+
     bar = create_progressbar(
-        iterable=range(cfg.niter),
+        total=cfg.niter,
         desc="Training scale [{}/{}]".format(scale_idx + 1, cfg.stop_scale + 1))
 
     metrics = {}
-    for iteration in bar:
-        key, kb = jax.random.split(key)
-        real, real_zero, noise_init = batch_fn(data_scale, data_zero, kb)
+    for iteration in range(0, cfg.niter, spc):
+        this_chunk = chunk if iteration + spc <= cfg.niter else chunk_rem
+        state, metrics = this_chunk(state, data_scale, data_zero, amps)
+        done = min(iteration + spc, cfg.niter)
+        bar.update(done - iteration)
 
-        # --- noise-amp calibration, first iteration (train_image.py:134-148)
-        if iteration == 0:
-            if cfg.const_amp:
-                noise_amps.append(1.0)
-            elif scale_idx == 0:
-                noise_amps.append(1.0)
-            else:
-                noise_amps.append(0.0)
-                key, kc = jax.random.split(key)
-                rmse = calib(state.g_params, state.g_state, real, real_zero,
-                             _amps_array(noise_amps, cfg.stop_scale), kc)
-                amp = cfg.noise_amp_init * float(rmse) / cfg.batch_size
-                noise_amps[-1] = amp
-            amps = _amps_array(noise_amps, cfg.stop_scale)
-
-        # --- train (train_image.py:152-159)
-        if vae_phase:
-            state, metrics = g_step(state, real, real_zero, noise_init, amps)
-        else:
-            state, d_metrics = d_step(state, real, noise_init, amps)
-            state, metrics = g_step(state, real, real_zero, noise_init, amps)
-            metrics.update(d_metrics)
-
-        if (iteration + 1) % cfg.print_interval == 0:
+        if done % cfg.print_interval < spc:
             vals = {k: float(v) for k, v in metrics.items()}
             logging.logbook("[Scale {}/Iter {}] Noise amp: {:.5f}, {}".format(
-                scale_idx + 1, iteration + 1, noise_amps[-1],
+                scale_idx + 1, done, noise_amps[-1],
                 ", ".join(f"{k}: {v:.5f}" for k, v in sorted(vals.items()))))
 
-        if cfg.visualize and (iteration + 1) % cfg.image_interval == 0 and ndim == 2:
+        if cfg.visualize and done % cfg.image_interval < spc and ndim == 2:
+            key, kb, kv = jax.random.split(key, 3)
+            real, real_zero, noise_init = batch_fn(data_scale, data_zero, kb)
             _visualize(cfg, saver, g_apply, state, real, real_zero, noise_init,
-                       amps, key, iteration)
+                       amps, kv, done)
 
         if step_callback is not None:
-            step_callback(iteration, state, metrics)
+            step_callback(done, state, metrics)
 
     bar.close()
 

@@ -82,6 +82,8 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native additions
     parser.add_argument('--compute-dtype', type=str, default='float32',
                         choices=['float32', 'bfloat16'])
+    parser.add_argument('--steps-per-call', type=int, default=8,
+                        help='training iterations fused per XLA dispatch')
     parser.add_argument('--bug-compat', action='store_true', default=False,
                         help='replicate reference bugs (frozen GP alpha, severed adv G grad)')
     parser.add_argument('--run-dir', type=str, default='run', help='experiment root dir')
