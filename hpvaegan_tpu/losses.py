@@ -33,7 +33,8 @@ def kl_bern_criterion(x):
 
 
 def mse(a, b):
-    return jnp.mean((a - b) ** 2)
+    # losses always in f32 (activations may flow in bf16)
+    return jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
 
 
 def gradient_penalty(d_apply, real, fake, alpha, lam):
@@ -46,9 +47,10 @@ def gradient_penalty(d_apply, real, fake, alpha, lam):
     interp = alpha * real + (1 - alpha) * fake
 
     def d_sum(x):
-        return jnp.sum(d_apply(x))
+        return jnp.sum(d_apply(x).astype(jnp.float32))
 
     grads = jax.grad(d_sum)(interp)
+    grads = grads.astype(jnp.float32)
     norms = jnp.sqrt(jnp.sum(grads ** 2, axis=-1) + 1e-12)
     return jnp.mean((norms - 1) ** 2) * lam
 
@@ -56,8 +58,8 @@ def gradient_penalty(d_apply, real, fake, alpha, lam):
 def d_loss_fn(cfg, d_apply, real, fake, alpha):
     """Discriminator loss: -E[D(real)] + E[D(fake)] + GP
     (reference: losses.py:27-45; fake is stop_gradient'ed by the caller)."""
-    err_real = -jnp.mean(d_apply(real))
-    err_fake = jnp.mean(d_apply(fake))
+    err_real = -jnp.mean(d_apply(real).astype(jnp.float32))
+    err_fake = jnp.mean(d_apply(fake).astype(jnp.float32))
     gp = gradient_penalty(d_apply, real, fake, alpha, cfg.lambda_grad)
     return err_real + err_fake + gp, {"d_real": -err_real, "d_fake": err_fake,
                                       "gp": gp}
@@ -76,6 +78,6 @@ def g_gan_loss_fn(cfg, d_apply, generated, real, fake):
     rec = mse(generated, real)
     if cfg.bug_compat:
         fake = jax.lax.stop_gradient(fake)  # reference losses.py:94
-    adv = -jnp.mean(d_apply(fake)) * cfg.disc_loss_weight
+    adv = -jnp.mean(d_apply(fake).astype(jnp.float32)) * cfg.disc_loss_weight
     total = cfg.rec_weight * rec + adv
     return total, {"rec": rec, "adv": adv}

@@ -48,7 +48,8 @@ def encode2dvae_apply(cfg, params, state, x, compute_dtype=None):
     mu = conv2d_apply(params["mu"], feats, padding=pad, compute_dtype=compute_dtype)
     logvar = conv2d_apply(params["logvar"], feats, padding=pad,
                           compute_dtype=compute_dtype)
-    return (mu, logvar), {"features": fs}
+    # latents/KL stay f32 even when activations flow in bf16
+    return (mu.astype(jnp.float32), logvar.astype(jnp.float32)), {"features": fs}
 
 
 def encode2dvae_nb_init(cfg, key, out_dim: Optional[int] = None,
@@ -170,7 +171,7 @@ def refinement_layers(cfg, body_params: List, body_state: List, x, amps,
         if is_random and idx + 1 >= noise_from_level:
             key, sub = jax.random.split(key)
             noise = generate_noise(sub, x_up.shape)
-            x_in = x_up + noise * amps[idx + 1]
+            x_in = x_up + (noise * amps[idx + 1]).astype(x_up.dtype)
         else:
             x_in = x_up
         y, ns = B.conv_stack_apply(block_p, block_s, x_in, ker=cfg.ker_size,

@@ -62,7 +62,8 @@ def encode3dvae_apply(cfg, params, state, x, compute_dtype=None):
     mu = conv3d_apply(params["mu"], feats, padding=pad, compute_dtype=compute_dtype)
     logvar = conv3d_apply(params["logvar"], feats, padding=pad,
                           compute_dtype=compute_dtype)
-    return (mu, logvar), {"features": fs}
+    # latents/KL stay f32 even when activations flow in bf16
+    return (mu.astype(jnp.float32), logvar.astype(jnp.float32)), {"features": fs}
 
 
 def encode3dvae_nb_init(cfg, key, out_dim: Optional[int] = None,
@@ -225,7 +226,7 @@ def refinement_layers_3d(cfg, body_params: List, body_state: List, x, amps, key,
         if add_noise:
             key, sub = jax.random.split(key)
             noise = generate_noise(sub, x_up.shape)
-            x_in = x_up + noise * amps[idx + 1]
+            x_in = x_up + (noise * amps[idx + 1]).astype(x_up.dtype)
         else:
             x_in = x_up
         y, ns = B.conv_stack_apply(block_p, block_s, x_in, ker=cfg.ker_size,
@@ -405,7 +406,7 @@ def generator_csg_apply(cfg, params, state, *, noise_init, amps, key,
                                   (t + 2 * pad, h + 2 * pad, w + 2 * pad))
             key, sub = jax.random.split(key)
             noise = generate_noise(sub, x2.shape)
-            x_in = x2 + noise * amps[idx]
+            x_in = x2 + (noise * amps[idx]).astype(x2.dtype)
         else:
             x_in = _zero_pad3d(x_up, pad)
         x_prev, ns = _baseline_stage_apply(cfg, params["body"][idx],
@@ -453,7 +454,7 @@ def generator_sg_apply(cfg, params, state, *, noise_init, amps, key,
                                   (t + 2 * pad, h + 2 * pad, w + 2 * pad))
             key, sub = jax.random.split(key)
             noise = generate_noise(sub, x2.shape)
-            x_in = x2 + noise * amps[idx]
+            x_in = x2 + (noise * amps[idx]).astype(x2.dtype)
         else:
             x_in = _zero_pad3d(x_up, pad)
         x_prev, ns = _baseline_stage_apply(cfg, params["body"][idx],

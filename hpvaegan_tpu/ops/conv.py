@@ -42,22 +42,21 @@ def _conv(x, w, stride, padding, dims2d: bool, compute_dtype=None):
     if isinstance(padding, int):
         padding = [(padding, padding)] * n_spatial
     dn = ("NHWC", "HWIO", "NHWC") if dims2d else ("NDHWC", "DHWIO", "NDHWC")
-    in_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    # No preferred_element_type when down-casting: a mixed bf16-operand /
+    # Output stays in the compute dtype: profiling showed the per-conv
+    # cast-back to f32 nullified bf16 gains (the step is VPU/bandwidth-bound,
+    # so activations must FLOW in bf16 through BN/act/resize, not just hit
+    # the MXU in bf16). No preferred_element_type: a mixed bf16-operand /
     # f32-output conv is not transposable under jax.grad (the WGAN-GP
-    # double-backward hits that). MXU accumulation is f32 internally for
-    # bf16 operands regardless; the cast back to in_dtype keeps the rest of
-    # the graph (losses, optimizer) in f32.
-    out = lax.conv_general_dilated(
+    # double-backward hits that); MXU accumulation is f32 internally anyway.
+    return lax.conv_general_dilated(
         x, w,
         window_strides=(stride,) * n_spatial,
         padding=padding,
         dimension_numbers=dn,
     )
-    return out.astype(in_dtype)
 
 
 def conv2d_apply(params: Dict, x: jnp.ndarray, stride: int = 1, padding=0,

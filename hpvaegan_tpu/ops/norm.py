@@ -32,8 +32,10 @@ def batchnorm_apply(params: Dict, state: Dict, x: jnp.ndarray, train: bool,
     """Channels-last batchnorm over all non-channel axes. Returns (y, new_state)."""
     axes = tuple(range(x.ndim - 1))
     if train:
-        mean = jnp.mean(x, axes)
-        var = jnp.var(x, axes)
+        # stats in f32 even when activations flow in bf16
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axes)
+        var = jnp.var(xf, axes)
         new_state = {
             "mean": momentum * state["mean"] + (1 - momentum) * mean,
             "var": momentum * state["var"] + (1 - momentum) * var,
@@ -42,5 +44,6 @@ def batchnorm_apply(params: Dict, state: Dict, x: jnp.ndarray, train: bool,
         mean, var = state["mean"], state["var"]
         new_state = state
     inv = jax.lax.rsqrt(var + eps) * params["gamma"]
-    y = (x - mean) * inv + params["beta"]
+    y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype) \
+        + params["beta"].astype(x.dtype)
     return y, new_state
