@@ -108,14 +108,46 @@ def bench_scale(scale_idx: int, iters: int = 20, warmup: int = 2,
     return n_chunks * cfg.steps_per_call / dt
 
 
+def bench_sampling(num_samples: int = 64, reps: int = 5) -> float:
+    """Batched diverse-sample generation at full depth (BASELINE config 5):
+    images/sec for a 64-sample batch through all 10 scales, DP-sharded over
+    the available devices (one chip here; scales out on a mesh)."""
+    import numpy as np
+
+    from hpvaegan_tpu import models
+    from hpvaegan_tpu.config import Config
+    from hpvaegan_tpu.data.image import SingleImageDataset
+    from hpvaegan_tpu.models.networks_2d import generator_init_next_stage
+    from hpvaegan_tpu.parallel.sampling import sharded_sampler
+
+    cfg = Config(image_path="data/imgs/air_balloons.jpg").finalize()
+    SingleImageDataset(cfg)  # sets cfg.ar
+    cfg.Noise_Amps = [1.0] + [0.1] * cfg.stop_scale
+    g_init, _ = models.get_generator(cfg.generator, 2)
+    g_params, g_state = g_init(cfg, jax.random.PRNGKey(0))
+    for i in range(cfg.stop_scale):
+        g_params, g_state = generator_init_next_stage(cfg, g_params, g_state,
+                                                      jax.random.PRNGKey(i))
+    sample = sharded_sampler(cfg, g_params, g_state, ndim=2)
+    out = sample(num_samples, jax.random.PRNGKey(1))  # warm + barrier
+    t0 = time.perf_counter()
+    for r in range(reps):
+        out = sample(num_samples, jax.random.PRNGKey(2 + r))
+    dt = time.perf_counter() - t0  # sample() returns host arrays => barrier
+    del out
+    return num_samples * reps / dt
+
+
 def main():
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--iters", type=int, default=64)
     p.add_argument("--compute-dtype", default="float32")
     p.add_argument("--all-scales", action="store_true",
                    help="also report a per-scale table to stderr")
+    p.add_argument("--sampling", action="store_true",
+                   help="also bench 64-sample batched generation")
     args = p.parse_args()
 
     log(f"devices: {jax.devices()}")
@@ -124,6 +156,9 @@ def main():
             sps = bench_scale(s, iters=args.iters,
                               compute_dtype=args.compute_dtype)
             log(f"scale {s}: {sps:.3f} steps/s")
+    if args.sampling:
+        ips = bench_sampling()
+        log(f"batched generation (64/batch, full depth): {ips:.2f} images/s")
 
     sps = bench_scale(9, iters=args.iters, compute_dtype=args.compute_dtype)
     log(f"finest scale (9, 257px): {sps:.3f} steps/s")

@@ -86,6 +86,8 @@ class Config:
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' for conv compute
     steps_per_call: int = 8  # training iterations fused per XLA dispatch
     #                          (lax.scan chunk; 1 = reference-like stepping)
+    pallas_fused_sampling: bool = False  # TPU: fused Pallas upscale+noise in
+    #                          the no-grad sampling path (~1.8x on that op)
     bug_compat: bool = False  # replicate reference bugs (frozen GP alpha,
     #                           severed adversarial G gradient: losses.py:26,94)
     mesh_data: int = 1  # data-parallel mesh axis size (batched sampling/training)

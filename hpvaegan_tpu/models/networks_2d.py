@@ -83,6 +83,28 @@ def encode2dvae_nb_apply(cfg, params, state, x, compute_dtype=None):
     return (mu, logvar, bern), {"features": fs}
 
 
+def encode2dvae1x1_init(cfg, key, out_dim: Optional[int] = None):
+    """Encode2DVAE 1x1 variant (reference names it Encode3DVAE1x1 inside the
+    2D module, networks_2d.py:140-159): 1x1 feature/mu/logvar convs."""
+    out_dim = out_dim or cfg.nfc
+    kf, km, kl = jax.random.split(key, 3)
+    fp, fs = B.feature_extractor_init(kf, cfg.nc_im, cfg.nfc, 1, 2, num_blocks=2)
+    return ({"features": fp,
+             "mu": conv2d_init(km, cfg.nfc, out_dim, 1),
+             "logvar": conv2d_init(kl, cfg.nfc, out_dim, 1)},
+            {"features": fs})
+
+
+def encode2dvae1x1_apply(cfg, params, state, x, compute_dtype=None):
+    feats, fs = B.feature_extractor_apply(params["features"], state["features"],
+                                          x, ker=1, ndim=2,
+                                          compute_dtype=compute_dtype)
+    mu = conv2d_apply(params["mu"], feats, padding=0, compute_dtype=compute_dtype)
+    logvar = conv2d_apply(params["logvar"], feats, padding=0,
+                          compute_dtype=compute_dtype)
+    return (mu.astype(jnp.float32), logvar.astype(jnp.float32)), {"features": fs}
+
+
 # ----------------------------------------------------------- discriminator ---
 
 def wdiscriminator2d_init(cfg, key) -> Tuple[Dict, Dict]:
@@ -161,19 +183,36 @@ def refinement_layers(cfg, body_params: List, body_state: List, x, amps,
     noise_from_level: 2D adds noise at every stage (0); the 3D generator gates
     noise on idx+1 >= vae_levels (networks_3d.py:443).
     """
+    # no-grad sampling fast path: one fused Pallas kernel for
+    # upscale+noise (ops/pallas/upsample_noise.py); not used under grad
+    # (no VJP) or in reconstruction mode
+    use_pallas = bool(getattr(cfg, "pallas_fused_sampling", False)) \
+        and is_random and not train
+    if use_pallas:
+        from ..ops.pallas.upsample_noise import fused_upscale_noise_2d
+        from ..utils.pyramid import scale_size_2d
+
     new_states = list(body_state[:start_idx])
     for idx in range(start_idx, len(body_params)):
         block_p, block_s = body_params[idx], body_state[idx]
         if cfg.vae_levels == idx + 1 and not cfg.train_all:
             x = jax.lax.stop_gradient(x)
-        x_up = upscale_2d(x, idx + 1, cfg.scale_factor, cfg.stop_scale,
-                          cfg.img_size, cfg.ar)
-        if is_random and idx + 1 >= noise_from_level:
+        if use_pallas and idx + 1 >= noise_from_level:
             key, sub = jax.random.split(key)
-            noise = generate_noise(sub, x_up.shape)
-            x_in = x_up + (noise * amps[idx + 1]).astype(x_up.dtype)
+            seed = jax.random.randint(sub, (), 0, 2 ** 31 - 1)
+            hw = scale_size_2d(idx + 1, cfg.scale_factor, cfg.stop_scale,
+                               cfg.img_size, cfg.ar)
+            x_up, x_in = fused_upscale_noise_2d(x.astype(jnp.float32), hw,
+                                                amps[idx + 1], seed)
         else:
-            x_in = x_up
+            x_up = upscale_2d(x, idx + 1, cfg.scale_factor, cfg.stop_scale,
+                              cfg.img_size, cfg.ar)
+            if is_random and idx + 1 >= noise_from_level:
+                key, sub = jax.random.split(key)
+                noise = generate_noise(sub, x_up.shape)
+                x_in = x_up + (noise * amps[idx + 1]).astype(x_up.dtype)
+            else:
+                x_in = x_up
         y, ns = B.conv_stack_apply(block_p, block_s, x_in, ker=cfg.ker_size,
                                    padd=cfg.padd_size, train=train, ndim=2,
                                    compute_dtype=compute_dtype)

@@ -56,7 +56,16 @@ def sn_conv_apply(params: Dict, state: Dict, x: jnp.ndarray, stride: int = 1,
                   padding=0, compute_dtype=None) -> Tuple[jnp.ndarray, Dict]:
     ndim = params["w"].ndim - 2
     w_bar, new_state = spectral_normalize(params["w"], state)
-    out = _conv(x, w_bar, stride, padding, ndim == 2, compute_dtype)
+    if ndim == 1:
+        # 1D via a height-1 2D conv (reference: spectral_norm.py:94
+        # SpectualNormConv1d expand_dims trick)
+        x2 = x[:, None]  # (B, 1, W, C)
+        w2 = w_bar[None]  # (1, K, cin, cout)
+        pad2 = [(0, 0), (padding, padding)] if isinstance(padding, int) \
+            else padding
+        out = _conv(x2, w2, stride, pad2, True, compute_dtype)[:, 0]
+    else:
+        out = _conv(x, w_bar, stride, padding, ndim == 2, compute_dtype)
     if "b" in params:
         out = out + params["b"].astype(out.dtype)
     return out, new_state

@@ -137,6 +137,14 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
 
         if done % cfg.print_interval < spc:
             vals = {k: float(v) for k, v in metrics.items()}
+            # failure detection: the reference trains blind (SURVEY §5 — no
+            # guards at all); here divergence aborts with context instead of
+            # silently wasting the remaining scales
+            bad = [k for k, v in vals.items() if not np.isfinite(v)]
+            if bad:
+                raise RuntimeError(
+                    f"non-finite training metrics {bad} at scale "
+                    f"{scale_idx} iter {done} (amps={noise_amps})")
             logging.logbook("[Scale {}/Iter {}] Noise amp: {:.5f}, {}".format(
                 scale_idx + 1, done, noise_amps[-1],
                 ", ".join(f"{k}: {v:.5f}" for k, v in sorted(vals.items()))))

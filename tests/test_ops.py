@@ -80,6 +80,16 @@ def test_sn_conv_apply_runs_and_updates_state():
     assert not np.allclose(np.asarray(new_state["u"]), np.asarray(state["u"]))
 
 
+def test_sn_conv1d():
+    # 1D spectral-norm conv (reference: spectral_norm.py:58-106)
+    key = jax.random.PRNGKey(7)
+    params, state = sn_conv_init(key, 2, 4, 3, ndim=1)
+    x = jnp.ones((2, 10, 2))  # (B, W, C)
+    y, ns = sn_conv_apply(params, state, x, padding=1)
+    assert y.shape == (2, 10, 4)
+    assert np.isfinite(np.asarray(y)).all()
+
+
 def test_sn_grad_flows_through_sigma_not_uv():
     key = jax.random.PRNGKey(5)
     params, state = sn_conv_init(key, 2, 3, 3, ndim=2)

@@ -1,0 +1,49 @@
+"""Checkpoint/resume test (reference: train_image.py:361-379 --netG +
+--intermediate restore scale index and noise amps, replay init_next_stage,
+load params, retrain the resumed scale)."""
+
+import json
+import os
+import shutil
+
+from hpvaegan_tpu.config import Config
+from hpvaegan_tpu.training.trainer import run_training
+
+IMG = os.path.join(os.path.dirname(__file__), "..", "data", "imgs",
+                   "air_balloons.jpg")
+
+
+def _cfg(run_dir, **kw):
+    base = dict(image_path=IMG, checkname="r", nfc=8, latent_dim=8,
+                num_layer=1, enc_blocks=1, niter=2, img_size=24, min_size=12,
+                max_size=24, vae_levels=1, print_interval=100,
+                run_dir=run_dir, manualSeed=1)
+    base.update(kw)
+    return Config(**base).finalize()
+
+
+def test_resume_from_mid_run(tmp_path):
+    cfg = _cfg(str(tmp_path / "a"))
+    g_params, _, amps, saver = run_training(cfg, mode="image", seed=1)
+    n_scales = cfg.stop_scale + 1
+    assert len(g_params["body"]) == cfg.stop_scale
+
+    # simulate an interrupted run: keep only scale<=1 artifacts
+    resume_dir = tmp_path / "interrupted"
+    resume_dir.mkdir()
+    shutil.copy(os.path.join(saver.experiment_dir, "netG_1.ckpt"),
+                resume_dir / "netG_1.ckpt")
+    with open(resume_dir / "intermediate.json", "w") as f:
+        json.dump({"noise_amps": amps[:2], "scale_idx": 1}, f)
+
+    cfg2 = _cfg(str(tmp_path / "b"))
+    cfg2.netG = str(resume_dir / "netG_1.ckpt")
+    cfg2.intermediate = str(resume_dir / "intermediate.json")
+    g_params2, _, amps2, saver2 = run_training(cfg2, mode="image", seed=2)
+
+    # grew back to full depth and recalibrated amps for scales >= 1
+    assert len(g_params2["body"]) == cfg2.stop_scale
+    assert len(amps2) == n_scales
+    assert amps2[0] == amps[0] == 1.0
+    assert os.path.exists(os.path.join(saver2.experiment_dir,
+                                       f"netG_{cfg2.stop_scale}.ckpt"))
