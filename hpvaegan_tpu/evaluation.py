@@ -75,10 +75,14 @@ def generate_samples(cfg, g_params, g_state, ndim: int, seed: int = 0,
     if ndim == 2:
         z_shape = (cfg.num_samples, h0, w0, cfg.latent_dim)
     else:
-        _, td0, _ = pyramid.get_fps_td_by_index(0, cfg.stop_scale_time,
-                                                cfg.sampling_rates, cfg.org_fps,
-                                                cfg.fps_lcm)
-        z_shape = (cfg.num_samples, td0, h0, w0, cfg.latent_dim)
+        # reference eval builds Z_init at the EVAL scale's time depth
+        # (eval_video.py:36-39), unlike training which keeps scale-0 td
+        td = getattr(cfg, "td", None)
+        if not td:
+            _, td, _ = pyramid.get_fps_td_by_index(
+                cfg.scale_idx, cfg.stop_scale_time, cfg.sampling_rates,
+                cfg.org_fps, cfg.fps_lcm)
+        z_shape = (cfg.num_samples, td, h0, w0, cfg.latent_dim)
 
     amps = np.zeros((cfg.stop_scale + 2,), np.float32)
     amps[:len(cfg.Noise_Amps)] = cfg.Noise_Amps

@@ -1,0 +1,60 @@
+"""End-to-end eval flows: train tiny -> reload from args.txt -> batched
+sampling -> artifacts -> sinFID (reference eval_image.py / eval_video.py)."""
+
+import os
+
+import numpy as np
+
+from hpvaegan_tpu.config import Config
+from hpvaegan_tpu.evaluation import (eval_image_experiment,
+                                     eval_video_experiment, hydrate_config)
+from hpvaegan_tpu.training.trainer import run_training
+
+IMG = os.path.join(os.path.dirname(__file__), "..", "data", "imgs",
+                   "air_balloons.jpg")
+VID = os.path.join(os.path.dirname(__file__), "..", "data", "vids",
+                   "synthetic.avi")
+
+
+def test_eval_image_flow(tmp_path):
+    cfg = Config(image_path=IMG, checkname="e", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=24, min_size=12,
+                 max_size=24, vae_levels=1, print_interval=100,
+                 run_dir=str(tmp_path), manualSeed=1).finalize()
+    _, _, _, saver = run_training(cfg, mode="image", seed=1)
+    exp_dir = saver.experiment_dir
+    cfg.write_args_txt(os.path.join(exp_dir, "args.txt"))
+
+    ecfg = hydrate_config(exp_dir, dict(niter=1, num_samples=3, max_samples=3,
+                                        batch_size=1, data_rep=1,
+                                        save_path="images", scale_idx=-1,
+                                        netG=""))
+    sifid, esaver = eval_image_experiment(ecfg, exp_dir, seed=0)
+    assert np.isfinite(sifid)
+    samples = np.load(os.path.join(esaver.eval_dir, "random_samples.npy"))
+    assert samples.shape[0] == 3 and samples.shape[1] == 3  # (N, C, H, W)
+    assert os.path.exists(os.path.join(esaver.eval_dir, "images",
+                                       "fake_0.png"))
+
+
+def test_eval_video_flow(tmp_path):
+    cfg = Config(video_path=VID, checkname="ev", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=18, min_size=9,
+                 max_size=18, vae_levels=1, sampling_rates=[2, 1], max_frames=5,
+                 discriminator="WDiscriminator3D", print_interval=100,
+                 run_dir=str(tmp_path), manualSeed=1).finalize()
+    _, _, _, saver = run_training(cfg, mode="video", seed=1)
+    exp_dir = saver.experiment_dir
+    cfg.write_args_txt(os.path.join(exp_dir, "args.txt"))
+
+    ecfg = hydrate_config(exp_dir, dict(niter=1, num_samples=2, max_samples=2,
+                                        batch_size=1, data_rep=1,
+                                        save_path="images", scale_idx=-1,
+                                        netG=""))
+    svfid, esaver = eval_video_experiment(ecfg, exp_dir, seed=0)
+    assert np.isfinite(svfid)
+    samples = np.load(os.path.join(esaver.eval_dir, "random_samples.npy"))
+    assert samples.ndim == 5 and samples.shape[1] == 3  # (N, C, T, H, W)
+    out_dir = os.path.join(esaver.eval_dir, "images")
+    assert os.path.exists(os.path.join(out_dir, "fake.gif"))
+    assert os.path.exists(os.path.join(out_dir, "real_unfold.png"))
