@@ -125,7 +125,7 @@ def _d_step_core(cfg, g_apply: Callable, d_apply: Callable, opt_d, cd):
 
 def make_train_chunk(cfg, g_apply: Callable, d_apply: Callable, opt_g, opt_d,
                      plan, vae_phase: bool, batch_body: Callable,
-                     steps_per_call: int):
+                     steps_per_call: int, mesh=None):
     """Fuse `steps_per_call` full training iterations (batch forming + D step
     + G step) into ONE jitted lax.scan program.
 
@@ -136,10 +136,25 @@ def make_train_chunk(cfg, g_apply: Callable, d_apply: Callable, opt_g, opt_d,
 
     batch_body(data_scale, data_zero, key) -> (real, real_zero, noise_init)
     must be jit-traceable (the make_*_batch_fn inner functions are).
+
+    mesh: optional jax.sharding.Mesh for data-parallel training — the formed
+    batch is sharding-constrained over the 'data' axis (params replicated;
+    XLA inserts the gradient all-reduces). The reference has no DP at all
+    (SURVEY §2.3).
     """
     cd = _cdtype(cfg)
     g_step = _g_step_core(cfg, g_apply, d_apply, opt_g, plan, vae_phase, cd)
     d_step = _d_step_core(cfg, g_apply, d_apply, opt_d, cd)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def _shard(x):
+            spec = ("data",) + (None,) * (x.ndim - 1)
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(*spec)))
+    else:
+        def _shard(x):
+            return x
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def chunk(state: ScaleTrainState, data_scale, data_zero, amps):
@@ -149,6 +164,8 @@ def make_train_chunk(cfg, g_apply: Callable, d_apply: Callable, opt_g, opt_d,
             st = ScaleTrainState(st.g_params, st.g_state, st.d_params,
                                  st.d_state, st.opt_g, st.opt_d, key)
             real, real_zero, noise_init = batch_body(data_scale, data_zero, kb)
+            real, real_zero, noise_init = (_shard(real), _shard(real_zero),
+                                           _shard(noise_init))
             if not vae_phase:
                 st, d_metrics = d_step(st, real, noise_init, amps)
             else:

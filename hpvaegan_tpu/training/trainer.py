@@ -95,20 +95,33 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
         data_zero = dataset.scale_frames(0)
     batch_fn = jax.jit(batch_body)
 
+    # Optional data-parallel mesh (batch sharded over 'data', params
+    # replicated; a capability the reference lacks — SURVEY §2.3)
+    mesh = None
+    if cfg.mesh_data > 1:
+        from ..parallel.mesh import make_mesh, replicate_sharding
+        assert cfg.batch_size % cfg.mesh_data == 0, \
+            f"batch {cfg.batch_size} not divisible by mesh_data {cfg.mesh_data}"
+        mesh = make_mesh(cfg.mesh_data, data_parallel=cfg.mesh_data)
+
     # Fused iteration chunks: `steps_per_call` iterations (batch + D + G)
     # per XLA dispatch. Host dispatch dominates small scales on TPU.
     spc = max(1, min(cfg.steps_per_call, cfg.niter))
     chunk = make_train_chunk(cfg, g_apply, d_apply, opt_g, opt_d, plan,
-                             vae_phase, batch_body, spc)
+                             vae_phase, batch_body, spc, mesh=mesh)
     rem = cfg.niter % spc
     chunk_rem = None
     if rem:
         chunk_rem = make_train_chunk(cfg, g_apply, d_apply, opt_g, opt_d,
-                                     plan, vae_phase, batch_body, rem)
+                                     plan, vae_phase, batch_body, rem,
+                                     mesh=mesh)
 
     key, ks = jax.random.split(key)
     state = ScaleTrainState(g_params, g_state, d_params, d_state,
                             opt_g_state, opt_d_state, ks)
+    if mesh is not None:
+        from ..parallel.mesh import replicate_sharding
+        state = jax.device_put(state, replicate_sharding(mesh))
 
     # --- noise-amp calibration (train_image.py:134-148): one host sync/scale
     if cfg.const_amp:

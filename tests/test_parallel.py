@@ -55,3 +55,22 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_data_parallel_training(tmp_path):
+    """Full trainer with batch sharded over the 8-device mesh (a capability
+    the reference lacks entirely, SURVEY §2.3)."""
+    import os
+
+    from hpvaegan_tpu.training.trainer import run_training
+
+    img = os.path.join(os.path.dirname(__file__), "..", "data", "imgs",
+                       "air_balloons.jpg")
+    cfg = Config(image_path=img, checkname="dp", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=24, min_size=12,
+                 max_size=24, vae_levels=1, batch_size=8, mesh_data=8,
+                 steps_per_call=2, run_dir=str(tmp_path),
+                 manualSeed=1).finalize()
+    g_params, _, amps, _ = run_training(cfg, mode="image", seed=1)
+    assert len(amps) == cfg.stop_scale + 1
+    assert all(np.isfinite(a) for a in amps)

@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=['float32', 'bfloat16'])
     parser.add_argument('--steps-per-call', type=int, default=8,
                         help='training iterations fused per XLA dispatch')
+    parser.add_argument('--profile-dir', type=str, default='',
+                        help='capture a jax.profiler trace of the run into this dir')
+    parser.add_argument('--mesh-data', type=int, default=1,
+                        help='data-parallel devices (batch sharded over the mesh)')
     parser.add_argument('--bug-compat', action='store_true', default=False,
                         help='replicate reference bugs (frozen GP alpha, severed adv G grad)')
     parser.add_argument('--run-dir', type=str, default='run', help='experiment root dir')
@@ -121,7 +125,9 @@ def main():
         logging.info('Rec. Weight    : %s', cfg.rec_weight)
         logging.info('Scales         : %s', cfg.stop_scale + 1)
 
-    run_training(cfg, mode='image', seed=cfg.manualSeed)
+    from hpvaegan_tpu.utils.profiling import trace
+    with trace(getattr(args, 'profile_dir', '')):
+        run_training(cfg, mode='image', seed=cfg.manualSeed)
 
 
 if __name__ == '__main__':

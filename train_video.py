@@ -72,7 +72,9 @@ def main():
         logging.info('Iterations     : %s', cfg.niter)
         logging.info('Sampling rates : %s', cfg.sampling_rates)
 
-    run_training(cfg, mode='video', seed=cfg.manualSeed)
+    from hpvaegan_tpu.utils.profiling import trace
+    with trace(getattr(args, 'profile_dir', '')):
+        run_training(cfg, mode='video', seed=cfg.manualSeed)
 
 
 if __name__ == '__main__':
