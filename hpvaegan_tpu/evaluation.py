@@ -72,17 +72,27 @@ def generate_samples(cfg, g_params, g_state, ndim: int, seed: int = 0,
     sampler = make_sampler(cfg, g_apply, train=train_mode)
     h0, w0 = pyramid.scale_size_2d(0, cfg.scale_factor, cfg.stop_scale,
                                    cfg.img_size, cfg.ar)
+    baseline = cfg.generator in ("GeneratorCSG", "GeneratorSG")
+    # baselines take nc_im-channel Z_init-shaped noise
+    # (train_video_baselines.py:41-44,124), HPVAEGAN takes latent noise
+    z_ch = cfg.nc_im if baseline else cfg.latent_dim
     if ndim == 2:
-        z_shape = (cfg.num_samples, h0, w0, cfg.latent_dim)
+        z_shape = (cfg.num_samples, h0, w0, z_ch)
     else:
-        # reference eval builds Z_init at the EVAL scale's time depth
-        # (eval_video.py:36-39), unlike training which keeps scale-0 td
-        td = getattr(cfg, "td", None)
-        if not td:
+        if baseline:
+            # baselines fixed their Z_init at the scale-0 time depth
             _, td, _ = pyramid.get_fps_td_by_index(
-                cfg.scale_idx, cfg.stop_scale_time, cfg.sampling_rates,
-                cfg.org_fps, cfg.fps_lcm)
-        z_shape = (cfg.num_samples, td, h0, w0, cfg.latent_dim)
+                0, cfg.stop_scale_time, cfg.sampling_rates, cfg.org_fps,
+                cfg.fps_lcm)
+        else:
+            # reference eval builds Z_init at the EVAL scale's time depth
+            # (eval_video.py:36-39), unlike training which keeps scale-0 td
+            td = getattr(cfg, "td", None)
+            if not td:
+                _, td, _ = pyramid.get_fps_td_by_index(
+                    cfg.scale_idx, cfg.stop_scale_time, cfg.sampling_rates,
+                    cfg.org_fps, cfg.fps_lcm)
+        z_shape = (cfg.num_samples, td, h0, w0, z_ch)
 
     amps = np.zeros((cfg.stop_scale + 2,), np.float32)
     amps[:len(cfg.Noise_Amps)] = cfg.Noise_Amps

@@ -57,7 +57,10 @@ def gradient_penalty(d_apply, real, fake, alpha, lam):
 
 def d_loss_fn(cfg, d_apply, real, fake, alpha):
     """Discriminator loss: -E[D(real)] + E[D(fake)] + GP
-    (reference: losses.py:27-45; fake is stop_gradient'ed by the caller)."""
+    (reference: losses.py:27-45; fake is stop_gradient'ed by the caller).
+
+    Applies d_apply to `real` FIRST — steps._d_step_core captures the
+    spectral-norm (u,v) state update from that first application."""
     err_real = -jnp.mean(d_apply(real).astype(jnp.float32))
     err_fake = jnp.mean(d_apply(fake).astype(jnp.float32))
     gp = gradient_penalty(d_apply, real, fake, alpha, cfg.lambda_grad)

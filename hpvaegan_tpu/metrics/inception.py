@@ -225,10 +225,9 @@ class InceptionV3:
             summed = jax.lax.reduce_window(
                 x, 0.0, jax.lax.add, (1, k[0], k[1], 1), (1, s[0], s[1], 1),
                 pads)
-            counts = jax.lax.reduce_window(
-                jnp.ones_like(x), 0.0, jax.lax.add, (1, k[0], k[1], 1),
-                (1, s[0], s[1], 1), pads)
-            return summed / counts
+            # torchvision avg_pool2d default count_include_pad=True: fixed
+            # divisor k*k even at padded borders (pretrained-weight parity)
+            return summed / (k[0] * k[1])
 
         def run_branch(x, branch):
             for item in branch:

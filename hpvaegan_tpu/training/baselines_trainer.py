@@ -66,6 +66,9 @@ def run_training(cfg, seed: int = 0, step_callback=None):
     saver = getattr(cfg, "saver", None) or DataSaver(cfg)
     cfg.saver = saver
     dataset = SingleVideoDataset(cfg)
+    # re-persist args.txt after the dataset computed ar/org_fps/fps_lcm
+    # (eval re-hydrates geometry from it)
+    cfg.write_args_txt(os.path.join(saver.experiment_dir, "args.txt"))
 
     key = jax.random.PRNGKey(seed)
     key, kg, kz = jax.random.split(key, 3)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..losses import d_loss_fn, g_gan_loss_fn, g_vae_loss_fn, gradient_penalty
+from ..losses import d_loss_fn, g_gan_loss_fn, g_vae_loss_fn
 from .partition import lr_tree_for, merge_params, split_params
 from .state import ScaleTrainState
 
@@ -100,17 +100,18 @@ def _d_step_core(cfg, g_apply: Callable, d_apply: Callable, opt_d, cd):
             else jax.random.uniform(k_alpha, ())
 
         def loss_fn(dp):
-            def d_fn(x):
-                return d_apply(cfg, dp, state.d_state, x, cd)[0]
+            # capture the new SN (u,v) state from d_loss_fn's FIRST D
+            # application (the real pass — losses.py applies real first)
+            state_box = []
 
-            # real/fake passes; capture new SN (u,v) state from the real pass
-            out_real, new_dstate = d_apply(cfg, dp, state.d_state, real, cd)
-            err_real = -jnp.mean(out_real)
-            err_fake = jnp.mean(d_fn(fake))
-            gp = gradient_penalty(d_fn, real, fake, alpha, cfg.lambda_grad)
-            total = err_real + err_fake + gp
-            return total, (new_dstate, {"d_real": -err_real,
-                                        "d_fake": err_fake, "gp": gp})
+            def d_fn(x):
+                y, ns = d_apply(cfg, dp, state.d_state, x, cd)
+                if not state_box:
+                    state_box.append(ns)
+                return y
+
+            total, aux = d_loss_fn(cfg, d_fn, real, fake, alpha)
+            return total, (state_box[0], aux)
 
         (loss, (new_dstate, aux)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.d_params)
@@ -206,7 +207,8 @@ def make_sampler(cfg, g_apply: Callable, train: bool = False):
         out, _ = g_apply(cfg, g_params, g_state, video=None, amps=amps,
                          noise_init=noise_init, key=key, is_random=True,
                          train=train, compute_dtype=cd)
-        return out[0], out[1]
+        # SinGAN baselines return (x,) only (no separate vae_out)
+        return out[0], (out[1] if len(out) > 1 else out[0])
 
     return sample
 

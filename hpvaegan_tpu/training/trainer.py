@@ -141,6 +141,12 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
         total=cfg.niter,
         desc="Training scale [{}/{}]".format(scale_idx + 1, cfg.stop_scale + 1))
 
+    # visualization programs are built ONCE per scale (a fresh jit closure
+    # per call would recompile the full generator at every image interval)
+    viz = None
+    if cfg.visualize and ndim == 2:
+        viz = (make_recon(cfg, g_apply), make_sampler(cfg, g_apply, train=True))
+
     metrics = {}
     for iteration in range(0, cfg.niter, spc):
         this_chunk = chunk if iteration + spc <= cfg.niter else chunk_rem
@@ -162,10 +168,10 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
                 scale_idx + 1, done, noise_amps[-1],
                 ", ".join(f"{k}: {v:.5f}" for k, v in sorted(vals.items()))))
 
-        if cfg.visualize and done % cfg.image_interval < spc and ndim == 2:
+        if viz is not None and done % cfg.image_interval < spc:
             key, kb, kv = jax.random.split(key, 3)
             real, real_zero, noise_init = batch_fn(data_scale, data_zero, kb)
-            _visualize(cfg, saver, g_apply, state, real, real_zero, noise_init,
+            _visualize(viz, saver, state, real, real_zero, noise_init,
                        amps, kv, done)
 
         if step_callback is not None:
@@ -184,11 +190,10 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
     return state.g_params, state.g_state, noise_amps, key
 
 
-def _visualize(cfg, saver, g_apply, state, real, real_zero, noise_init, amps,
+def _visualize(viz, saver, state, real, real_zero, noise_init, amps,
                key, iteration):
     """Periodic image dumps (train_image.py:179-200), denormalized properly."""
-    recon = make_recon(cfg, g_apply)
-    sample = make_sampler(cfg, g_apply, train=True)
+    recon, sample = viz
 
     def denorm(x):
         return np.clip((np.asarray(x) + 1) * 127.5, 0, 255)
@@ -226,6 +231,14 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
     else:
         dataset = SingleVideoDataset(cfg)
 
+    # re-persist args.txt now that the dataset computed derived config
+    # (ar, org_fps, fps_lcm) — the reference writes args.txt after building
+    # the dataset (train_image.py:323-339); eval/export re-hydrate from it,
+    # so a pre-dataset snapshot would bake ar=1.0 into their geometry
+    import os as _os
+    if getattr(cfg, "saver", None) is not None:
+        cfg.write_args_txt(_os.path.join(saver.experiment_dir, "args.txt"))
+
     seed = seed if seed is not None else (cfg.manualSeed or 0)
     key = jax.random.PRNGKey(seed)
     key, kg = jax.random.split(key)
@@ -246,12 +259,14 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
         noise_amps = list(inter["noise_amps"])
         cfg.scale_idx = resumed_idx = int(inter["scale_idx"])
         resume_dir = os.path.dirname(cfg.netG)
-        for _ in range(cfg.scale_idx):
-            key, kn = jax.random.split(key)
-            g_params, g_state = init_next_stage(cfg, g_params, g_state, kn, ndim)
+        # the checkpointed pytree already carries the grown body (no need to
+        # replay init_next_stage like the reference's flat-name load,
+        # train_image.py:377-379)
         from ..utils.saver import load_pytree
         ckpt = load_pytree(cfg.netG)
         g_params, g_state = ckpt["params"], ckpt["state"]
+        assert len(g_params["body"]) == cfg.scale_idx, \
+            (len(g_params["body"]), cfg.scale_idx)
         # the saved amps list already includes the resumed scale; retrain it
         noise_amps = noise_amps[:cfg.scale_idx]
 

@@ -23,12 +23,15 @@ def test_eval_image_flow(tmp_path):
                  run_dir=str(tmp_path), manualSeed=1).finalize()
     _, _, _, saver = run_training(cfg, mode="image", seed=1)
     exp_dir = saver.experiment_dir
-    cfg.write_args_txt(os.path.join(exp_dir, "args.txt"))
+    # run_training itself persists args.txt WITH derived fields (the CLI's
+    # early snapshot lacks ar — that ordering bug baked ar=1.0 into eval)
 
     ecfg = hydrate_config(exp_dir, dict(niter=1, num_samples=3, max_samples=3,
                                         batch_size=1, data_rep=1,
                                         save_path="images", scale_idx=-1,
                                         netG=""))
+    # air_balloons.jpg is 186x248 -> the persisted aspect ratio must be 0.75
+    assert abs(ecfg.ar - 0.75) < 1e-9
     sifid, esaver = eval_image_experiment(ecfg, exp_dir, seed=0)
     assert np.isfinite(sifid)
     samples = np.load(os.path.join(esaver.eval_dir, "random_samples.npy"))
@@ -45,7 +48,6 @@ def test_eval_video_flow(tmp_path):
                  run_dir=str(tmp_path), manualSeed=1).finalize()
     _, _, _, saver = run_training(cfg, mode="video", seed=1)
     exp_dir = saver.experiment_dir
-    cfg.write_args_txt(os.path.join(exp_dir, "args.txt"))
 
     ecfg = hydrate_config(exp_dir, dict(niter=1, num_samples=2, max_samples=2,
                                         batch_size=1, data_rep=1,
@@ -58,3 +60,27 @@ def test_eval_video_flow(tmp_path):
     out_dir = os.path.join(esaver.eval_dir, "images")
     assert os.path.exists(os.path.join(out_dir, "fake.gif"))
     assert os.path.exists(os.path.join(out_dir, "real_unfold.png"))
+
+
+def test_eval_baseline_flow(tmp_path):
+    """SinGAN baselines are evaluable too (the reference's eval path could
+    not drive them at all)."""
+    from hpvaegan_tpu.training.baselines_trainer import run_training as run_b
+
+    cfg = Config(video_path=VID, checkname="eb", nfc=8, num_layer=1,
+                 niter=2, img_size=18, min_size=9, max_size=18,
+                 sampling_rates=[2, 1], max_frames=5,
+                 generator="GeneratorCSG",
+                 discriminator="WDiscriminatorBaselines", print_interval=100,
+                 run_dir=str(tmp_path), manualSeed=1).finalize()
+    _, _, _, saver = run_b(cfg, seed=1)
+    exp_dir = saver.experiment_dir
+
+    ecfg = hydrate_config(exp_dir, dict(niter=1, num_samples=2, max_samples=2,
+                                        batch_size=1, data_rep=1,
+                                        save_path="images", scale_idx=-1,
+                                        netG=""))
+    svfid, esaver = eval_video_experiment(ecfg, exp_dir, seed=0)
+    assert np.isfinite(svfid)
+    samples = np.load(os.path.join(esaver.eval_dir, "random_samples.npy"))
+    assert samples.ndim == 5 and samples.shape[1] == 3
