@@ -298,7 +298,12 @@ def generator_vae_nb_apply(cfg, params, state, *, video=None, amps,
             z_norm = generate_noise(kz, mu.shape)
             z_bern = generate_noise(kb, bern.shape, kind="bernoulli")
     else:
-        z_norm, z_bern = noise_init, noise_init_bern
+        z_norm = noise_init
+        # drivers pass only the Gaussian noise (the reference crashes here,
+        # GWithLoss/DWithLoss never supply noise_init_bern); default to a
+        # Bernoulli(0.5) gate sample
+        z_bern = noise_init_bern if noise_init_bern is not None else \
+            generate_noise(kb, z_norm.shape[:-1] + (1,), kind="bernoulli")
 
     dec_out, dec_s = B.conv_stack_apply(params["decoder"], state["decoder"],
                                         z_norm * z_bern, ker=cfg.ker_size,

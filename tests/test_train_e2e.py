@@ -53,6 +53,20 @@ def test_train_image_e2e(tmp_path):
     assert all(np.isfinite(a).all() for a in flat)
 
 
+def test_train_image_vae_nb_e2e(tmp_path):
+    """GeneratorVAE_nb trains through VAE and GAN phases (the reference's
+    GWithLoss could only consume the 4-output generator)."""
+    cfg = Config(image_path=IMG, checkname="nb", generator="GeneratorVAE_nb",
+                 nfc=8, latent_dim=8, num_layer=1, enc_blocks=1, niter=2,
+                 img_size=24, min_size=12, max_size=24, vae_levels=1,
+                 print_interval=100, run_dir=str(tmp_path),
+                 manualSeed=1).finalize()
+    g_params, _, amps, _ = run_training(cfg, mode="image", seed=1)
+    assert len(amps) == cfg.stop_scale + 1
+    assert all(np.isfinite(a) for a in amps)
+    assert len(g_params["body"]) == cfg.stop_scale
+
+
 @pytest.mark.slow
 def test_train_video_e2e(tmp_path):
     cfg = Config(video_path=VID, checkname="tv", nfc=8, latent_dim=8,
