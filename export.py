@@ -44,10 +44,17 @@ def main():
         raise RuntimeError(f"=> no <G> checkpoint found at '{path}'")
     ckpt = load_pytree(path)
 
-    exported = export_sampler(cfg, ckpt['params'], ckpt['state'], ndim=2,
-                              batch=cfg.batch_size)
     prefix = os.path.join(infer_dir, os.path.basename(path).split('.')[0])
+    # portable artifact (.stablehlo): multi-platform, verifiable on CPU hosts
+    exported = export_sampler(cfg, ckpt['params'], ckpt['state'], ndim=2,
+                              batch=cfg.batch_size, platforms=('tpu', 'cpu'))
     save_exported(exported, prefix)
+    # native-runner artifact (.mlir): single-platform so main() keeps the
+    # 3-input contract (multi-platform exports prepend a _platform_index arg)
+    exported_tpu = export_sampler(cfg, ckpt['params'], ckpt['state'], ndim=2,
+                                  batch=cfg.batch_size, platforms=('tpu',))
+    with open(prefix + '.mlir', 'w') as f:
+        f.write(exported_tpu.mlir_module())
 
     # sidecars for the native PJRT runner (native/pjrt_runner)
     from jax._src.lib import xla_client

@@ -68,10 +68,12 @@ def serving_input_specs(cfg, ndim: int = 2,
             jax.ShapeDtypeStruct((), jnp.int32))
 
 
-def export_sampler(cfg, g_params, g_state, ndim: int = 2, batch: int = 1):
+def export_sampler(cfg, g_params, g_state, ndim: int = 2, batch: int = 1,
+                   platforms=("tpu", "cpu")):
+    """Multi-platform export: servable on TPU, verifiable on CPU hosts."""
     fn = make_serving_fn(cfg, g_params, g_state, ndim)
     specs = serving_input_specs(cfg, ndim, batch)
-    return jax_export.export(jax.jit(fn))(*specs)
+    return jax_export.export(jax.jit(fn), platforms=platforms)(*specs)
 
 
 def save_exported(exported, prefix: str) -> None:

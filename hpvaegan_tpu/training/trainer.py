@@ -31,8 +31,8 @@ from ..utils.progress import create_progressbar
 from ..utils.saver import DataSaver
 from .partition import lr_tree_for, make_lr_plan, split_params
 from .state import ScaleTrainState
-from .steps import (make_calibration, make_d_step, make_g_step, make_recon,
-                    make_sampler, make_train_chunk)
+from .steps import (make_calibration, make_recon, make_sampler,
+                    make_train_chunk)
 
 
 def _amps_array(noise_amps: List[float], stop_scale: int) -> jnp.ndarray:

@@ -1,0 +1,63 @@
+"""Native-serving pipeline e2e (Python side of scripts/run_infer_tpu.sh):
+train tiny -> preprocess bins -> StableHLO export -> execute serialized
+module -> postprocess PNGs + SIFID. (The C++ PJRT runner itself is exercised
+on hardware; its outputs were verified bit-exact vs this path.)"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from hpvaegan_tpu.config import Config
+from hpvaegan_tpu.training.trainer import run_training
+
+IMG = os.path.join(os.path.dirname(__file__), "..", "data", "imgs",
+                   "air_balloons.jpg")
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def test_infer_pipeline(tmp_path):
+    cfg = Config(image_path=IMG, checkname="inf", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=24, min_size=12,
+                 max_size=24, vae_levels=1, print_interval=100,
+                 run_dir=str(tmp_path), manualSeed=1).finalize()
+    _, _, _, saver = run_training(cfg, mode="image", seed=1)
+    exp_dir = saver.experiment_dir
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # export (runs preprocess internally, writes bins + sidecars)
+    out = subprocess.run([sys.executable, os.path.join(REPO, "export.py"),
+                          "--exp-dir", exp_dir], capture_output=True,
+                         text=True, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    infer = os.path.join(exp_dir, "infer")
+    for sub in ("noise_init/noise_init.bin", "noise_amps/noise_amps.bin",
+                "seed/seed.bin", "compile_options.bin", "io_spec.txt"):
+        assert os.path.exists(os.path.join(infer, sub)), sub
+    mlirs = [f for f in os.listdir(infer) if f.endswith(".mlir")]
+    assert mlirs
+
+    # execute the serialized module on the bins (what the C++ runner does)
+    from hpvaegan_tpu.export.stablehlo import load_and_run_serialized
+    spec = open(os.path.join(infer, "io_spec.txt")).read().splitlines()
+    z_dims = tuple(int(d) for d in spec[0].split()[1].split(","))
+    noise = np.fromfile(os.path.join(infer, "noise_init/noise_init.bin"),
+                        np.float32).reshape(z_dims)
+    amps = np.fromfile(os.path.join(infer, "noise_amps/noise_amps.bin"),
+                       np.float32)
+    seed = np.fromfile(os.path.join(infer, "seed/seed.bin"), np.int32)[0]
+    sh = mlirs[0].replace(".mlir", ".stablehlo")
+    result = load_and_run_serialized(os.path.join(infer, sh), noise, amps,
+                                     seed)
+    result_dir = os.path.join(infer, "result")
+    os.makedirs(result_dir, exist_ok=True)
+    np.asarray(result).tofile(os.path.join(result_dir, "output_0.bin"))
+
+    # postprocess -> PNGs + SIFID
+    out = subprocess.run([sys.executable, os.path.join(REPO, "postprocess.py"),
+                          "--exp-dir", exp_dir], capture_output=True,
+                         text=True, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "SIFID:" in out.stdout
+    assert os.path.exists(os.path.join(infer, "images", "fake_0_0.png"))
