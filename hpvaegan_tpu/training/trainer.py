@@ -215,6 +215,47 @@ def _visualize(viz, saver, state, real, real_zero, noise_init, amps,
                      f"fake_vae_var{iteration}.jpg")
 
 
+def _train_scale_with_retry(cfg, g_params, g_state, dataset, saver,
+                            noise_amps, key, ndim, resumed_idx, resume_dir,
+                            step_callback, retries: int = 2):
+    """Elastic recovery (the reference has none, SURVEY §5): transient
+    runtime/transport failures (e.g. a remote-TPU compile stream dropping
+    mid-scale) restart the CURRENT scale from the previous scale's
+    checkpoint instead of killing a multi-hour run. Deliberate aborts
+    (non-finite metrics, assertions, Ctrl-C) are not retried."""
+    import jax.errors
+
+    scale_idx = cfg.scale_idx
+    amps_in = list(noise_amps)
+    for attempt in range(retries + 1):
+        try:
+            return train_scale(cfg, g_params, g_state, dataset, saver,
+                               list(amps_in), key, ndim, resumed_idx,
+                               resume_dir, step_callback)
+        except Exception as e:
+            # JaxRuntimeError subclasses RuntimeError, so classify by type:
+            # retry device/transport failures, never our deliberate aborts
+            retryable = isinstance(e, jax.errors.JaxRuntimeError) or \
+                not isinstance(e, (RuntimeError, KeyboardInterrupt,
+                                   AssertionError))
+            if not retryable or attempt == retries:
+                raise
+            logging.warning("scale %d failed (%s: %s) — retry %d/%d from "
+                            "last checkpoint", scale_idx, type(e).__name__,
+                            str(e)[:200], attempt + 1, retries)
+            # the failed call may have consumed donated buffers; reload
+            if scale_idx > 0:
+                ckpt = saver.load_checkpoint(f"netG_{scale_idx - 1}.ckpt")
+                g_params, g_state = ckpt["params"], ckpt["state"]
+                key, kn = jax.random.split(jax.random.PRNGKey(attempt + 99))
+                g_params, g_state = init_next_stage(cfg, g_params, g_state,
+                                                    kn, ndim)
+            else:
+                g_init = models.get_generator(cfg.generator, ndim)[0]
+                g_params, g_state = g_init(cfg, jax.random.PRNGKey(attempt))
+                key = jax.random.PRNGKey(attempt + 1)
+
+
 def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
                  step_callback=None):
     """Full multi-scale run (the reference __main__ scale loop,
@@ -283,7 +324,7 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
                          cfg.scale_idx, fps, td,
                          cfg.sampling_rates[fps_index])
         t0 = time.time()
-        g_params, g_state, noise_amps, key = train_scale(
+        g_params, g_state, noise_amps, key = _train_scale_with_retry(
             cfg, g_params, g_state, dataset, saver, noise_amps, key, ndim,
             resumed_idx, resume_dir, step_callback)
         logging.info("scale %d done in %.1fs (%.2f it/s)", cfg.scale_idx,

@@ -1,0 +1,60 @@
+"""Elastic-recovery test: a transient device failure mid-scale restarts the
+scale from the previous checkpoint instead of killing the run."""
+
+import os
+
+import numpy as np
+
+import hpvaegan_tpu.training.trainer as trainer_mod
+from hpvaegan_tpu.config import Config
+
+IMG = os.path.join(os.path.dirname(__file__), "..", "data", "imgs",
+                   "air_balloons.jpg")
+
+
+def test_scale_retry_on_transient_failure(tmp_path, monkeypatch):
+    import jax.errors
+
+    cfg = Config(image_path=IMG, checkname="rt", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=24, min_size=12,
+                 max_size=24, vae_levels=1, print_interval=100,
+                 run_dir=str(tmp_path), manualSeed=1).finalize()
+
+    real_train_scale = trainer_mod.train_scale
+    fails = {"armed": True}
+
+    def flaky_train_scale(cfg, *args, **kwargs):
+        if cfg.scale_idx == 1 and fails["armed"]:
+            fails["armed"] = False
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: simulated transport failure")
+        return real_train_scale(cfg, *args, **kwargs)
+
+    monkeypatch.setattr(trainer_mod, "train_scale", flaky_train_scale)
+    g_params, _, amps, saver = trainer_mod.run_training(cfg, mode="image",
+                                                        seed=1)
+    assert not fails["armed"]  # the failure fired
+    assert len(amps) == cfg.stop_scale + 1
+    assert all(np.isfinite(a) for a in amps)
+    assert os.path.exists(os.path.join(saver.experiment_dir,
+                                       f"netG_{cfg.stop_scale}.ckpt"))
+
+
+def test_non_finite_abort_not_retried(tmp_path, monkeypatch):
+    cfg = Config(image_path=IMG, checkname="rt2", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=24, min_size=12,
+                 max_size=24, vae_levels=1, print_interval=100,
+                 run_dir=str(tmp_path), manualSeed=1).finalize()
+    calls = {"n": 0}
+
+    def aborting_train_scale(cfg, *args, **kwargs):
+        calls["n"] += 1
+        raise RuntimeError("non-finite training metrics ['g_loss']")
+
+    monkeypatch.setattr(trainer_mod, "train_scale", aborting_train_scale)
+    try:
+        trainer_mod.run_training(cfg, mode="image", seed=1)
+        assert False, "expected RuntimeError"
+    except RuntimeError:
+        pass
+    assert calls["n"] == 1  # no retry of deliberate aborts
