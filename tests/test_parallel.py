@@ -57,6 +57,28 @@ def test_dryrun_multichip_entrypoint():
     ge.dryrun_multichip(8)
 
 
+def test_context_parallel_conv3d_over_time():
+    """CP over the video time axis (SURVEY §2.3/§5: optional capability —
+    halo exchange of ker//2 frames): XLA's SPMD partitioner inserts the
+    halos automatically for a T-sharded Conv3D; result must equal the
+    unsharded conv."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hpvaegan_tpu.ops.conv import conv3d_apply, conv3d_init
+
+    mesh = make_mesh(8, data_parallel=2)  # sp axis = 4
+    params = conv3d_init(jax.random.PRNGKey(0), 3, 8, 3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 12, 12, 3))
+
+    want = np.asarray(conv3d_apply(params, x, padding=1))
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "sp")))
+    with mesh:
+        got = jax.jit(lambda p, x: conv3d_apply(p, x, padding=1))(params, xs)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
 def test_data_parallel_training(tmp_path):
     """Full trainer with batch sharded over the 8-device mesh (a capability
     the reference lacks entirely, SURVEY §2.3)."""
