@@ -52,7 +52,7 @@ def init_next_stage(cfg, g_params, g_state, key, ndim: int):
 def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
                 noise_amps: List[float], key, ndim: int,
                 resumed_idx: int = -1, resume_dir: str = "",
-                step_callback=None):
+                step_callback=None, split_steps: bool = False):
     """Train one pyramid scale. Returns (g_params, g_state, noise_amps, key)."""
     scale_idx = cfg.scale_idx
     vae_phase = cfg.vae_levels >= scale_idx + 1
@@ -106,15 +106,25 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
 
     # Fused iteration chunks: `steps_per_call` iterations (batch + D + G)
     # per XLA dispatch. Host dispatch dominates small scales on TPU.
-    spc = max(1, min(cfg.steps_per_call, cfg.niter))
-    chunk = make_train_chunk(cfg, g_apply, d_apply, opt_g, opt_d, plan,
-                             vae_phase, batch_body, spc, mesh=mesh)
-    rem = cfg.niter % spc
-    chunk_rem = None
-    if rem:
-        chunk_rem = make_train_chunk(cfg, g_apply, d_apply, opt_g, opt_d,
-                                     plan, vae_phase, batch_body, rem,
-                                     mesh=mesh)
+    # split_steps compiles D and G updates as SEPARATE programs instead —
+    # slower dispatch, but the combined chunk at the largest 3D scales can
+    # exceed what some TPU compilers handle (each half compiles fine).
+    if split_steps:
+        from .steps import make_d_step, make_g_step
+        g_step = make_g_step(cfg, g_apply, d_apply, opt_g, plan, vae_phase)
+        d_step = make_d_step(cfg, g_apply, d_apply, opt_d)
+        spc = 1
+        chunk = chunk_rem = None
+    else:
+        spc = max(1, min(cfg.steps_per_call, cfg.niter))
+        chunk = make_train_chunk(cfg, g_apply, d_apply, opt_g, opt_d, plan,
+                                 vae_phase, batch_body, spc, mesh=mesh)
+        rem = cfg.niter % spc
+        chunk_rem = None
+        if rem:
+            chunk_rem = make_train_chunk(cfg, g_apply, d_apply, opt_g, opt_d,
+                                         plan, vae_phase, batch_body, rem,
+                                         mesh=mesh)
 
     key, ks = jax.random.split(key)
     state = ScaleTrainState(g_params, g_state, d_params, d_state,
@@ -149,8 +159,17 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
 
     metrics = {}
     for iteration in range(0, cfg.niter, spc):
-        this_chunk = chunk if iteration + spc <= cfg.niter else chunk_rem
-        state, metrics = this_chunk(state, data_scale, data_zero, amps)
+        if split_steps:
+            key, kb = jax.random.split(key)
+            real, real_zero, noise_init = batch_fn(data_scale, data_zero, kb)
+            if not vae_phase:
+                state, d_metrics = d_step(state, real, noise_init, amps)
+            state, metrics = g_step(state, real, real_zero, noise_init, amps)
+            if not vae_phase:
+                metrics.update(d_metrics)
+        else:
+            this_chunk = chunk if iteration + spc <= cfg.niter else chunk_rem
+            state, metrics = this_chunk(state, data_scale, data_zero, amps)
         done = min(iteration + spc, cfg.niter)
         bar.update(done - iteration)
 
@@ -229,9 +248,12 @@ def _train_scale_with_retry(cfg, g_params, g_state, dataset, saver,
     amps_in = list(noise_amps)
     for attempt in range(retries + 1):
         try:
+            # first failure may mean the combined chunk program exceeded the
+            # compiler; retries fall back to separate D/G programs
             return train_scale(cfg, g_params, g_state, dataset, saver,
                                list(amps_in), key, ndim, resumed_idx,
-                               resume_dir, step_callback)
+                               resume_dir, step_callback,
+                               split_steps=(attempt > 0))
         except Exception as e:
             # JaxRuntimeError subclasses RuntimeError, so classify by type:
             # retry device/transport failures, never our deliberate aborts
