@@ -138,6 +138,62 @@ def bench_sampling(num_samples: int = 64, reps: int = 5) -> float:
     return num_samples * reps / dt
 
 
+def bench_video_scale(scale_idx: int = 6, iters: int = 16) -> float:
+    """Video (Conv3D) GAN-phase steps/sec at a given scale of the
+    128px/13-frame workload (BASELINE config 4 shape)."""
+    import numpy as np
+
+    from hpvaegan_tpu import models
+    from hpvaegan_tpu.config import Config
+    from hpvaegan_tpu.data.video import (SingleVideoDataset,
+                                         make_video_batch_body)
+    from hpvaegan_tpu.models.networks_3d import generator_init_next_stage
+    from hpvaegan_tpu.optim import adam, clipped_adam
+    from hpvaegan_tpu.training.partition import (lr_tree_for, make_lr_plan,
+                                                 split_params)
+    from hpvaegan_tpu.training.state import ScaleTrainState
+    from hpvaegan_tpu.training.steps import make_train_chunk
+    from hpvaegan_tpu.utils import pyramid
+
+    cfg = Config(video_path="data/vids/synthetic.avi", img_size=128,
+                 min_size=32, max_frames=13,
+                 discriminator="WDiscriminator3D", steps_per_call=8).finalize()
+    cfg.scale_idx = scale_idx
+    ds = SingleVideoDataset(cfg)
+    fps, td, fi = pyramid.get_fps_td_by_index(scale_idx, cfg.stop_scale_time,
+                                              cfg.sampling_rates, cfg.org_fps,
+                                              cfg.fps_lcm)
+    cfg.fps, cfg.td, cfg.fps_index = fps, td, fi
+    g_init, g_apply = models.get_generator(cfg.generator, 3)
+    d_init, d_apply = models.get_discriminator(cfg.discriminator, 3)
+    g_params, g_state = g_init(cfg, jax.random.PRNGKey(0))
+    for i in range(scale_idx):
+        g_params, g_state = generator_init_next_stage(cfg, g_params, g_state,
+                                                      jax.random.PRNGKey(i))
+    d_params, d_state = d_init(cfg, jax.random.PRNGKey(1))
+    plan = make_lr_plan(cfg, scale_idx, scale_idx)
+    tr, _ = split_params(g_params, plan)
+    opt_g = clipped_adam(lr_tree_for(tr, plan), cfg.beta1,
+                         grad_clip=cfg.grad_clip)
+    opt_d = adam(cfg.lr_d, cfg.beta1)
+    bb = make_video_batch_body(cfg, scale_idx)
+    chunk = make_train_chunk(cfg, g_apply, d_apply, opt_g, opt_d, plan,
+                             False, bb, cfg.steps_per_call)
+    st = ScaleTrainState(g_params, g_state, d_params, d_state,
+                         opt_g.init(tr), opt_d.init(d_params),
+                         jax.random.PRNGKey(2))
+    dS, d0 = ds.scale_frames(scale_idx), ds.scale_frames(0)
+    amps = jnp.ones((cfg.stop_scale + 2,)) * 0.1
+    st, m = chunk(st, dS, d0, amps)
+    float(np.asarray(m["g_loss"]))
+    n = max(1, iters // cfg.steps_per_call)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        st, m = chunk(st, dS, d0, amps)
+    float(np.asarray(m["g_loss"]))
+    return n * cfg.steps_per_call / (time.perf_counter() - t0)
+
+
 def main():
     import argparse
 
@@ -148,6 +204,8 @@ def main():
                    help="also report a per-scale table to stderr")
     p.add_argument("--sampling", action="store_true",
                    help="also bench 64-sample batched generation")
+    p.add_argument("--video", action="store_true",
+                   help="also bench the 3D video train step (finest scale)")
     args = p.parse_args()
 
     log(f"devices: {jax.devices()}")
@@ -159,6 +217,9 @@ def main():
     if args.sampling:
         ips = bench_sampling()
         log(f"batched generation (64/batch, full depth): {ips:.2f} images/s")
+    if args.video:
+        vsps = bench_video_scale()
+        log(f"video train step (finest 128px scale, td 13): {vsps:.2f} steps/s")
 
     sps = bench_scale(9, iters=args.iters, compute_dtype=args.compute_dtype)
     log(f"finest scale (9, 257px): {sps:.3f} steps/s")

@@ -331,7 +331,16 @@ int main(int argc, char** argv) {
   double total_ms = 0;
   int runs = 0;
 
-  for (const auto& file : input_files) {
+  // warmup executions excluded from the latency report (some PJRT plugins
+  // defer final compilation to the first execute)
+  int warmup = std::stoi(get("warmup", "1"));
+  std::vector<std::string> run_list;
+  for (int i = 0; i < warmup; ++i) run_list.push_back(input_files[0]);
+  for (const auto& f : input_files) run_list.push_back(f);
+  int run_idx = 0;
+
+  for (const auto& file : run_list) {
+    bool is_warmup = run_idx++ < warmup;
     std::string noise = ReadFileToString(file);
     auto t0 = std::chrono::steady_clock::now();
 
@@ -385,13 +394,14 @@ int main(int argc, char** argv) {
     auto t1 = std::chrono::steady_clock::now();
     double ms =
         std::chrono::duration<double, std::milli>(t1 - t0).count();
-    total_ms += ms;
-    runs += 1;
-
-    auto base = file.substr(file.find_last_of('/') + 1);
-    base = base.substr(0, base.find_last_of('.'));
-    WriteResult(output_dir + "/" + base + "_output_0.bin", host.data(),
-                host.size());
+    if (!is_warmup) {
+      total_ms += ms;
+      runs += 1;
+      auto base = file.substr(file.find_last_of('/') + 1);
+      base = base.substr(0, base.find_last_of('.'));
+      WriteResult(output_dir + "/" + base + "_output_0.bin", host.data(),
+                  host.size());
+    }
 
     for (PJRT_Buffer* b : {in0, in1, in2, out}) {
       PJRT_Buffer_Destroy_Args d;
