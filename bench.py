@@ -108,7 +108,8 @@ def bench_scale(scale_idx: int, iters: int = 20, warmup: int = 2,
     return n_chunks * cfg.steps_per_call / dt
 
 
-def bench_sampling(num_samples: int = 64, reps: int = 5) -> float:
+def bench_sampling(num_samples: int = 64, reps: int = 5,
+                   compute_dtype: str = "float32") -> float:
     """Batched diverse-sample generation at full depth (BASELINE config 5):
     images/sec for a 64-sample batch through all 10 scales, DP-sharded over
     the available devices (one chip here; scales out on a mesh)."""
@@ -120,7 +121,8 @@ def bench_sampling(num_samples: int = 64, reps: int = 5) -> float:
     from hpvaegan_tpu.models.networks_2d import generator_init_next_stage
     from hpvaegan_tpu.parallel.sampling import sharded_sampler
 
-    cfg = Config(image_path="data/imgs/air_balloons.jpg").finalize()
+    cfg = Config(image_path="data/imgs/air_balloons.jpg",
+                 compute_dtype=compute_dtype).finalize()
     SingleImageDataset(cfg)  # sets cfg.ar
     cfg.Noise_Amps = [1.0] + [0.1] * cfg.stop_scale
     g_init, _ = models.get_generator(cfg.generator, 2)
@@ -216,7 +218,9 @@ def main():
             log(f"scale {s}: {sps:.3f} steps/s")
     if args.sampling:
         ips = bench_sampling()
-        log(f"batched generation (64/batch, full depth): {ips:.2f} images/s")
+        log(f"batched generation (64/batch, full depth, f32): {ips:.2f} images/s")
+        ips16 = bench_sampling(compute_dtype="bfloat16")
+        log(f"batched generation (bf16 flow-through): {ips16:.2f} images/s")
     if args.video:
         vsps = bench_video_scale()
         log(f"video train step (finest 128px scale, td 13): {vsps:.2f} steps/s")
