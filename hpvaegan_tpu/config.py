@@ -88,6 +88,10 @@ class Config:
     #                          (lax.scan chunk; 1 = reference-like stepping)
     pallas_fused_sampling: bool = False  # TPU: fused Pallas upscale+noise in
     #                          the no-grad sampling path (~1.8x on that op)
+    fused_dg: bool = False  # GAN phase: D and G losses share ONE fake forward
+    #                         (same refinement noise for both; XLA CSEs the
+    #                         generator forward; ~10% faster). Deviates from
+    #                         the reference's fresh-noise-per-step fakes.
     bug_compat: bool = False  # replicate reference bugs (frozen GP alpha,
     #                           severed adversarial G gradient: losses.py:26,94)
     mesh_data: int = 1  # data-parallel mesh axis size (batched sampling/training)

@@ -67,6 +67,17 @@ def test_train_image_vae_nb_e2e(tmp_path):
     assert len(g_params["body"]) == cfg.stop_scale
 
 
+def test_train_image_fused_dg_e2e(tmp_path):
+    """--fused-dg mode: D and G share one fake forward (XLA CSE)."""
+    cfg = Config(image_path=IMG, checkname="fdg", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=24, min_size=12,
+                 max_size=24, vae_levels=1, fused_dg=True, print_interval=100,
+                 run_dir=str(tmp_path), manualSeed=1).finalize()
+    g_params, _, amps, _ = run_training(cfg, mode="image", seed=1)
+    assert all(np.isfinite(a) for a in amps)
+    assert len(g_params["body"]) == cfg.stop_scale
+
+
 @pytest.mark.slow
 def test_train_video_e2e(tmp_path):
     cfg = Config(video_path=VID, checkname="tv", nfc=8, latent_dim=8,

@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help='capture a jax.profiler trace of the run into this dir')
     parser.add_argument('--mesh-data', type=int, default=1,
                         help='data-parallel devices (batch sharded over the mesh)')
+    parser.add_argument('--fused-dg', action='store_true', default=False,
+                        help='share one fake forward between D and G losses (~10%% faster; '
+                             'deviates from per-step fresh fake noise)')
     parser.add_argument('--bug-compat', action='store_true', default=False,
                         help='replicate reference bugs (frozen GP alpha, severed adv G grad)')
     parser.add_argument('--run-dir', type=str, default='run', help='experiment root dir')
