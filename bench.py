@@ -131,12 +131,22 @@ def bench_sampling(num_samples: int = 64, reps: int = 5,
         g_params, g_state = generator_init_next_stage(cfg, g_params, g_state,
                                                       jax.random.PRNGKey(i))
     sample = sharded_sampler(cfg, g_params, g_state, ndim=2)
-    out = sample(num_samples, jax.random.PRNGKey(1))  # warm + barrier
+    sample(num_samples, jax.random.PRNGKey(1))  # warm + barrier
+
+    # compute-only: device-resident samples, scalar barrier (on a tunneled
+    # TPU the d2h of a 64-image batch costs seconds and is NOT generation
+    # throughput; the on-device sinFID pipeline never transfers samples)
+    import numpy as np
+
+    @jax.jit
+    def checksum(x):
+        return jnp.sum(x)
+
     t0 = time.perf_counter()
     for r in range(reps):
-        out = sample(num_samples, jax.random.PRNGKey(2 + r))
-    dt = time.perf_counter() - t0  # sample() returns host arrays => barrier
-    del out
+        out = sample(num_samples, jax.random.PRNGKey(2 + r), device=True)
+    float(np.asarray(checksum(out)))
+    dt = time.perf_counter() - t0
     return num_samples * reps / dt
 
 

@@ -44,21 +44,74 @@ def sharded_sampler(cfg, g_params, g_state, ndim: int = 2, mesh=None,
     g_state = jax.device_put(g_state, repl)
     amps_dev = jax.device_put(jnp.asarray(amps), repl)
 
-    @jax.jit
-    def forward(noise, key):
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def forward(key, batch):
+        kn, kf = jax.random.split(key)
+        # noise generated IN-jit: zero host->device traffic per call
+        noise = jax.random.normal(kn, (batch,) + z_tail)
+        noise = jax.lax.with_sharding_constraint(
+            noise, batch_sharding(mesh, noise.ndim))
         out, _ = g_apply(cfg, g_params, g_state, video=None, amps=amps_dev,
-                         noise_init=noise, key=key, is_random=True,
+                         noise_init=noise, key=kf, is_random=True,
                          train=train)
         return out[0]
 
-    def sample(num_samples: int, key) -> np.ndarray:
+    def sample(num_samples: int, key, device: bool = False):
+        """device=True returns the device array (no host transfer — feed it
+        to on-device sinFID or further processing); default returns numpy."""
         dp = mesh.shape["data"]
         assert num_samples % dp == 0, \
             f"num_samples {num_samples} not divisible by data axis {dp}"
-        kn, kf = jax.random.split(key)
-        noise = jax.random.normal(kn, (num_samples,) + z_tail)
-        noise = jax.device_put(noise, batch_sharding(mesh, noise.ndim))
         with mesh:
-            return np.asarray(forward(noise, kf))
+            out = forward(key, num_samples)
+        return out if device else np.asarray(out)
 
     return sample
+
+
+def sampled_sifid(cfg, g_params, g_state, real_image, num_samples: int, key,
+                  mesh=None, dims: int = 64):
+    """BASELINE config 5: batched diverse-sample generation WITH on-device
+    sinFID. Samples and Inception block features never leave the device;
+    only per-sample (mu: dims, sigma: dims x dims) statistics transfer to
+    the host for the tiny Frechet sqrtm.
+
+    real_image: (H, W, 3) float in [0,1] at the generation scale.
+    Returns sifid_values: list[float] (per sample).
+    """
+    from ..metrics.fid import calculate_frechet_distance
+    from ..metrics.inception import InceptionV3
+
+    sample = sharded_sampler(cfg, g_params, g_state, ndim=2, mesh=mesh)
+    model = InceptionV3([InceptionV3.BLOCK_INDEX_BY_DIM[dims]])
+
+    @jax.jit
+    def stats(feats):
+        # (B, H, W, C) -> per-sample position statistics
+        b = feats.shape[0]
+        flat = feats.reshape(b, -1, feats.shape[-1]).astype(jnp.float32)
+        mu = jnp.mean(flat, axis=1)
+        centered = flat - mu[:, None, :]
+        n = flat.shape[1]
+        sigma = jnp.einsum("bpc,bpd->bcd", centered, centered) / (n - 1)
+        return mu, sigma
+
+    fakes = sample(num_samples, key, device=True)  # [-1,1] device array
+    fakes01 = (fakes + 1.0) * 0.5
+    fake_feats = model(fakes01)[-1]
+    mu_f, sig_f = stats(fake_feats)
+    mu_f, sig_f = np.asarray(mu_f), np.asarray(sig_f)  # tiny transfer
+
+    # real stats (one image at matching size)
+    h, w = fakes.shape[1], fakes.shape[2]
+    real = jnp.asarray(real_image, jnp.float32)[None]
+    from ..ops.resize import resize_bilinear
+    real = resize_bilinear(real, (h, w), align_corners=False)
+    mu_r, sig_r = stats(model(real)[-1])
+    mu_r, sig_r = np.asarray(mu_r)[0], np.asarray(sig_r)[0]
+
+    vals = [float(calculate_frechet_distance(mu_f[i], sig_f[i], mu_r, sig_r))
+            for i in range(num_samples)]
+    return vals

@@ -57,6 +57,28 @@ def test_dryrun_multichip_entrypoint():
     ge.dryrun_multichip(8)
 
 
+def test_sampled_sifid_on_device():
+    """BASELINE config 5 pipeline: device-resident samples -> Inception
+    features -> per-sample stats; only stats reach the host."""
+    from hpvaegan_tpu import models
+    from hpvaegan_tpu.models.networks_2d import generator_init_next_stage
+    from hpvaegan_tpu.parallel.sampling import sampled_sifid
+
+    cfg = Config(nfc=8, latent_dim=8, num_layer=1, enc_blocks=1, img_size=32,
+                 min_size=16, max_size=32, vae_levels=1).finalize()
+    cfg.ar = 1.0
+    cfg.Noise_Amps = [1.0, 0.1]
+    g_init, _ = models.get_generator("GeneratorHPVAEGAN", 2)
+    p, s = g_init(cfg, jax.random.PRNGKey(0))
+    p, s = generator_init_next_stage(cfg, p, s, jax.random.PRNGKey(1))
+
+    real = np.random.RandomState(0).rand(48, 48, 3).astype(np.float32)
+    vals = sampled_sifid(cfg, p, s, real, 8, jax.random.PRNGKey(2))
+    assert len(vals) == 8
+    assert all(np.isfinite(v) for v in vals)
+    assert all(v >= 0 for v in vals)
+
+
 def test_context_parallel_conv3d_over_time():
     """CP over the video time axis (SURVEY §2.3/§5: optional capability —
     halo exchange of ker//2 frames): XLA's SPMD partitioner inserts the
