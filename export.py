@@ -44,15 +44,18 @@ def main():
         raise RuntimeError(f"=> no <G> checkpoint found at '{path}'")
     ckpt = load_pytree(path)
 
+    # video experiments (args.txt carries video_path) export the 3D sampler
+    ndim = 3 if getattr(cfg, 'video_path', '') else 2
     prefix = os.path.join(infer_dir, os.path.basename(path).split('.')[0])
     # portable artifact (.stablehlo): multi-platform, verifiable on CPU hosts
-    exported = export_sampler(cfg, ckpt['params'], ckpt['state'], ndim=2,
+    exported = export_sampler(cfg, ckpt['params'], ckpt['state'], ndim=ndim,
                               batch=cfg.batch_size, platforms=('tpu', 'cpu'))
     save_exported(exported, prefix)
     # native-runner artifact (.mlir): single-platform so main() keeps the
     # 3-input contract (multi-platform exports prepend a _platform_index arg)
-    exported_tpu = export_sampler(cfg, ckpt['params'], ckpt['state'], ndim=2,
-                                  batch=cfg.batch_size, platforms=('tpu',))
+    exported_tpu = export_sampler(cfg, ckpt['params'], ckpt['state'],
+                                  ndim=ndim, batch=cfg.batch_size,
+                                  platforms=('tpu',))
     with open(prefix + '.mlir', 'w') as f:
         f.write(exported_tpu.mlir_module())
 
@@ -62,7 +65,7 @@ def main():
         f.write(xla_client.CompileOptions().SerializeAsString())
     from hpvaegan_tpu.export.stablehlo import serving_input_specs
     with open(os.path.join(infer_dir, 'io_spec.txt'), 'w') as f:
-        for spec in serving_input_specs(cfg, ndim=2, batch=cfg.batch_size):
+        for spec in serving_input_specs(cfg, ndim=ndim, batch=cfg.batch_size):
             dt = 's32' if spec.dtype.name.startswith('int') else 'f32'
             dims = ','.join(str(d) for d in spec.shape)
             f.write(f'{dt} {dims}\n'.replace(' \n', '\n'))

@@ -115,3 +115,42 @@ def sampled_sifid(cfg, g_params, g_state, real_image, num_samples: int, key,
     vals = [float(calculate_frechet_distance(mu_f[i], sig_f[i], mu_r, sig_r))
             for i in range(num_samples)]
     return vals
+
+
+def sampled_svfid(cfg, g_params, g_state, real_video, num_samples: int, key,
+                  mesh=None, dims: int = 64):
+    """Video variant of sampled_sifid (BASELINE config 5: batched diverse-
+    sample VIDEO generation with on-device sinFID): samples and C3D block
+    features stay on device; per-sample statistics are the only transfer.
+
+    real_video: (T, H, W, 3) float in [0,1].
+    """
+    from ..metrics.c3d import C3D
+    from ..metrics.fid import calculate_frechet_distance
+    from ..ops.resize import resize_trilinear
+
+    sample = sharded_sampler(cfg, g_params, g_state, ndim=3, mesh=mesh)
+    model = C3D([C3D.BLOCK_INDEX_BY_DIM[dims]])
+
+    @jax.jit
+    def stats(feats):
+        b = feats.shape[0]
+        flat = feats.reshape(b, -1, feats.shape[-1]).astype(jnp.float32)
+        mu = jnp.mean(flat, axis=1)
+        centered = flat - mu[:, None, :]
+        n = flat.shape[1]
+        sigma = jnp.einsum("bpc,bpd->bcd", centered, centered) / (n - 1)
+        return mu, sigma
+
+    fakes = sample(num_samples, key, device=True)  # (B,T,H,W,C) [-1,1]
+    mu_f, sig_f = stats(model((fakes + 1.0) * 0.5)[-1])
+    mu_f, sig_f = np.asarray(mu_f), np.asarray(sig_f)
+
+    t, h, w = fakes.shape[1:4]
+    real = jnp.asarray(real_video, jnp.float32)[None]
+    real = resize_trilinear(real, (t, h, w), align_corners=False)
+    mu_r, sig_r = stats(model(real)[-1])
+    mu_r, sig_r = np.asarray(mu_r)[0], np.asarray(sig_r)[0]
+
+    return [float(calculate_frechet_distance(mu_f[i], sig_f[i], mu_r, sig_r))
+            for i in range(num_samples)]

@@ -29,8 +29,15 @@ def pre_process(cfg, exp_dir: str, seed: int = 0):
     h0, w0 = pyramid.scale_size_2d(0, cfg.scale_factor, cfg.stop_scale,
                                    cfg.img_size, cfg.ar)
     rng = np.random.RandomState(seed)
-    noise_init = rng.standard_normal(
-        (cfg.batch_size, cfg.latent_dim, h0, w0)).astype(np.float32)
+    if getattr(cfg, "video_path", ""):
+        # video: NCTHW noise at scale-0 time depth (train_video.py:43-46)
+        _, td0, _ = pyramid.get_fps_td_by_index(
+            0, cfg.stop_scale_time, cfg.sampling_rates, cfg.org_fps,
+            cfg.fps_lcm)
+        shape = (cfg.batch_size, cfg.latent_dim, td0, h0, w0)
+    else:
+        shape = (cfg.batch_size, cfg.latent_dim, h0, w0)
+    noise_init = rng.standard_normal(shape).astype(np.float32)
 
     for sub in ("noise_init", "noise_amps", "seed"):
         os.makedirs(os.path.join(infer_dir, sub), exist_ok=True)

@@ -79,6 +79,29 @@ def test_sampled_sifid_on_device():
     assert all(v >= 0 for v in vals)
 
 
+def test_sampled_svfid_on_device():
+    """Video variant: device-resident video samples -> C3D features."""
+    from hpvaegan_tpu import models
+    from hpvaegan_tpu.models.networks_3d import generator_init_next_stage
+    from hpvaegan_tpu.parallel.sampling import sampled_svfid
+
+    cfg = Config(nfc=8, latent_dim=8, num_layer=1, enc_blocks=1, img_size=24,
+                 min_size=12, max_size=24, vae_levels=1, sampling_rates=[2, 1],
+                 stop_scale_time=-1).finalize()
+    cfg.ar = 1.0
+    cfg.org_fps = 24.0
+    cfg.fps_lcm = 2
+    cfg.Noise_Amps = [1.0, 0.1]
+    g_init, _ = models.get_generator("GeneratorHPVAEGAN", 3)
+    p, s = g_init(cfg, jax.random.PRNGKey(0))
+    p, s = generator_init_next_stage(cfg, p, s, jax.random.PRNGKey(1))
+
+    real = np.random.RandomState(0).rand(5, 24, 24, 3).astype(np.float32)
+    vals = sampled_svfid(cfg, p, s, real, 8, jax.random.PRNGKey(2))
+    assert len(vals) == 8
+    assert all(np.isfinite(v) and v >= 0 for v in vals)
+
+
 def test_context_parallel_conv3d_over_time():
     """CP over the video time axis (SURVEY §2.3/§5: optional capability —
     halo exchange of ker//2 frames): XLA's SPMD partitioner inserts the
