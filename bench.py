@@ -27,6 +27,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 MS_CPU_EST_STEPS_PER_SEC = 0.25
 TARGET = 10 * MS_CPU_EST_STEPS_PER_SEC
@@ -91,8 +92,6 @@ def bench_scale(scale_idx: int, iters: int = 20, warmup: int = 2,
     chunk's loss — on remote-device transports (the axon tunnel here)
     jax.block_until_ready can return before execution finishes, which
     silently inflates throughput by >10x."""
-    import numpy as np
-
     cfg, state, chunk, data_scale, data_zero, amps = build(scale_idx,
                                                            compute_dtype)
     for _ in range(warmup):
@@ -113,8 +112,6 @@ def bench_sampling(num_samples: int = 64, reps: int = 5,
     """Batched diverse-sample generation at full depth (BASELINE config 5):
     images/sec for a 64-sample batch through all 10 scales, DP-sharded over
     the available devices (one chip here; scales out on a mesh)."""
-    import numpy as np
-
     from hpvaegan_tpu import models
     from hpvaegan_tpu.config import Config
     from hpvaegan_tpu.data.image import SingleImageDataset
@@ -136,8 +133,6 @@ def bench_sampling(num_samples: int = 64, reps: int = 5,
     # compute-only: device-resident samples, scalar barrier (on a tunneled
     # TPU the d2h of a 64-image batch costs seconds and is NOT generation
     # throughput; the on-device sinFID pipeline never transfers samples)
-    import numpy as np
-
     @jax.jit
     def checksum(x):
         return jnp.sum(x)
@@ -153,8 +148,6 @@ def bench_sampling(num_samples: int = 64, reps: int = 5,
 def bench_video_scale(scale_idx: int = 6, iters: int = 16) -> float:
     """Video (Conv3D) GAN-phase steps/sec at a given scale of the
     128px/13-frame workload (BASELINE config 4 shape)."""
-    import numpy as np
-
     from hpvaegan_tpu import models
     from hpvaegan_tpu.config import Config
     from hpvaegan_tpu.data.video import (SingleVideoDataset,

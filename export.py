@@ -50,7 +50,7 @@ def main():
     # portable artifact (.stablehlo): multi-platform, verifiable on CPU hosts
     exported = export_sampler(cfg, ckpt['params'], ckpt['state'], ndim=ndim,
                               batch=cfg.batch_size, platforms=('tpu', 'cpu'))
-    save_exported(exported, prefix)
+    save_exported(exported, prefix, write_mlir=False)
     # native-runner artifact (.mlir): single-platform so main() keeps the
     # 3-input contract (multi-platform exports prepend a _platform_index arg)
     exported_tpu = export_sampler(cfg, ckpt['params'], ckpt['state'],

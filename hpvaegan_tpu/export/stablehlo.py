@@ -76,11 +76,12 @@ def export_sampler(cfg, g_params, g_state, ndim: int = 2, batch: int = 1,
     return jax_export.export(jax.jit(fn), platforms=platforms)(*specs)
 
 
-def save_exported(exported, prefix: str) -> None:
+def save_exported(exported, prefix: str, write_mlir: bool = True) -> None:
     with open(prefix + ".stablehlo", "wb") as f:
         f.write(exported.serialize())
-    with open(prefix + ".mlir", "w") as f:
-        f.write(exported.mlir_module())
+    if write_mlir:
+        with open(prefix + ".mlir", "w") as f:
+            f.write(exported.mlir_module())
 
 
 def load_and_run_serialized(path: str, *args):

@@ -96,6 +96,9 @@ def _inception_d(prefix: str):
 
 
 def _inception_e(prefix: str):
+    # pytorch-fid's FIDInceptionE_2 (Mixed_7c) replaces the branch avg-pool
+    # with a MAX pool to match the original TF-FID network
+    pool_kind = "maxpool" if prefix == "Mixed_7c" else "avgpool"
     return {
         "branches": [
             [_c(f"{prefix}.branch1x1", 320, (1, 1))],
@@ -108,7 +111,7 @@ def _inception_e(prefix: str):
              ("split", [_c(f"{prefix}.branch3x3dbl_3a", 384, (1, 3), p=(0, 1)),
                         _c(f"{prefix}.branch3x3dbl_3b", 384, (3, 1),
                            p=(1, 0))])],
-            [("avgpool", None, (3, 3), (1, 1), (1, 1)),
+            [(pool_kind, None, (3, 3), (1, 1), (1, 1)),
              _c(f"{prefix}.branch_pool", 192, (1, 1))],
         ],
     }
@@ -225,9 +228,15 @@ class InceptionV3:
             summed = jax.lax.reduce_window(
                 x, 0.0, jax.lax.add, (1, k[0], k[1], 1), (1, s[0], s[1], 1),
                 pads)
-            # torchvision avg_pool2d default count_include_pad=True: fixed
-            # divisor k*k even at padded borders (pretrained-weight parity)
-            return summed / (k[0] * k[1])
+            # pytorch-fid's FIDInceptionA/C/E branch pools use
+            # avg_pool2d(count_include_pad=False): divide by the VALID
+            # window count at padded borders. The recommended pretrained
+            # weights (tools/metric_weights.py) are the pytorch-fid file,
+            # so FID-variant semantics are the parity target.
+            counts = jax.lax.reduce_window(
+                jnp.ones_like(x), 0.0, jax.lax.add, (1, k[0], k[1], 1),
+                (1, s[0], s[1], 1), pads)
+            return summed / counts
 
         def run_branch(x, branch):
             for item in branch:

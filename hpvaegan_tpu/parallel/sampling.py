@@ -71,6 +71,18 @@ def sharded_sampler(cfg, g_params, g_state, ndim: int = 2, mesh=None,
     return sample
 
 
+@jax.jit
+def _per_sample_stats(feats):
+    """(B, *positions, C) features -> per-sample (mu: C, sigma: CxC)."""
+    b = feats.shape[0]
+    flat = feats.reshape(b, -1, feats.shape[-1]).astype(jnp.float32)
+    mu = jnp.mean(flat, axis=1)
+    centered = flat - mu[:, None, :]
+    n = flat.shape[1]
+    sigma = jnp.einsum("bpc,bpd->bcd", centered, centered) / (n - 1)
+    return mu, sigma
+
+
 def sampled_sifid(cfg, g_params, g_state, real_image, num_samples: int, key,
                   mesh=None, dims: int = 64):
     """BASELINE config 5: batched diverse-sample generation WITH on-device
@@ -86,17 +98,7 @@ def sampled_sifid(cfg, g_params, g_state, real_image, num_samples: int, key,
 
     sample = sharded_sampler(cfg, g_params, g_state, ndim=2, mesh=mesh)
     model = InceptionV3([InceptionV3.BLOCK_INDEX_BY_DIM[dims]])
-
-    @jax.jit
-    def stats(feats):
-        # (B, H, W, C) -> per-sample position statistics
-        b = feats.shape[0]
-        flat = feats.reshape(b, -1, feats.shape[-1]).astype(jnp.float32)
-        mu = jnp.mean(flat, axis=1)
-        centered = flat - mu[:, None, :]
-        n = flat.shape[1]
-        sigma = jnp.einsum("bpc,bpd->bcd", centered, centered) / (n - 1)
-        return mu, sigma
+    stats = _per_sample_stats
 
     fakes = sample(num_samples, key, device=True)  # [-1,1] device array
     fakes01 = (fakes + 1.0) * 0.5
@@ -131,16 +133,7 @@ def sampled_svfid(cfg, g_params, g_state, real_video, num_samples: int, key,
 
     sample = sharded_sampler(cfg, g_params, g_state, ndim=3, mesh=mesh)
     model = C3D([C3D.BLOCK_INDEX_BY_DIM[dims]])
-
-    @jax.jit
-    def stats(feats):
-        b = feats.shape[0]
-        flat = feats.reshape(b, -1, feats.shape[-1]).astype(jnp.float32)
-        mu = jnp.mean(flat, axis=1)
-        centered = flat - mu[:, None, :]
-        n = flat.shape[1]
-        sigma = jnp.einsum("bpc,bpd->bcd", centered, centered) / (n - 1)
-        return mu, sigma
+    stats = _per_sample_stats
 
     fakes = sample(num_samples, key, device=True)  # (B,T,H,W,C) [-1,1]
     mu_f, sig_f = stats(model((fakes + 1.0) * 0.5)[-1])

@@ -204,17 +204,18 @@ def _fused_dg_step_core(cfg, g_apply: Callable, d_apply: Callable, opt_g,
     def step(state: ScaleTrainState, real, real_zero, noise_init, amps):
         key, k_fake, k_alpha, k_rec = jax.random.split(state.key, 4)
 
-        def make_fake(gp):
-            out, _ = g_apply(cfg, gp, state.g_state, video=None, amps=amps,
-                             noise_init=noise_init, key=k_fake, is_random=True,
-                             train=True, compute_dtype=cd)
-            return out[0]
+        def make_fake(gp, g_state_in):
+            out, gs = g_apply(cfg, gp, g_state_in, video=None, amps=amps,
+                              noise_init=noise_init, key=k_fake,
+                              is_random=True, train=True, compute_dtype=cd)
+            return out[0], gs
 
         alpha = jnp.float32(0.5) if cfg.bug_compat \
             else jax.random.uniform(k_alpha, ())
 
         def d_loss(dp):
-            fake = jax.lax.stop_gradient(make_fake(state.g_params))
+            fake = jax.lax.stop_gradient(make_fake(state.g_params,
+                                                   state.g_state)[0])
             state_box = []
 
             def dfn(x):
@@ -238,13 +239,17 @@ def _fused_dg_step_core(cfg, g_apply: Callable, d_apply: Callable, opt_g,
             out, gs1 = g_apply(cfg, gp, state.g_state, video=real_zero,
                                amps=amps, noise_init=None, key=k_rec,
                                is_random=False, train=True, compute_dtype=cd)
-            fake = make_fake(gp)  # same noise as D's fake -> primal CSEs
+            # same noise as D's fake -> the primal forward CSEs (train-mode
+            # BN outputs don't depend on the incoming state, only the new
+            # state does — threading gs1 keeps the unfused steps' BN
+            # moving-stat bookkeeping: recon pass then fake pass)
+            fake, gs2 = make_fake(gp, gs1)
 
             def dfn(x):
                 return d_apply(cfg, d_params, new_dstate, x, cd)[0]
 
             total, aux = g_gan_loss_fn(cfg, dfn, out[0], real, fake)
-            return total, (gs1, aux)
+            return total, (gs2, aux)
 
         (g_total, (new_gstate, g_aux)), g_grads = jax.value_and_grad(
             g_loss, has_aux=True)(trainable)

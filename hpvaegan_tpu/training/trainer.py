@@ -244,8 +244,14 @@ def _train_scale_with_retry(cfg, g_params, g_state, dataset, saver,
     (non-finite metrics, assertions, Ctrl-C) are not retried."""
     import jax.errors
 
+    from ..utils.saver import tree_to_numpy
+
     scale_idx = cfg.scale_idx
     amps_in = list(noise_amps)
+    # host snapshot of the scale's ENTRY state: the failed attempt may have
+    # consumed donated device buffers, and checkpoint files may live in a
+    # different directory on resumed runs — the snapshot is directory-free
+    entry = tree_to_numpy({"params": g_params, "state": g_state})
     for attempt in range(retries + 1):
         try:
             # first failure may mean the combined chunk program exceeded the
@@ -254,28 +260,18 @@ def _train_scale_with_retry(cfg, g_params, g_state, dataset, saver,
                                list(amps_in), key, ndim, resumed_idx,
                                resume_dir, step_callback,
                                split_steps=(attempt > 0))
-        except Exception as e:
-            # JaxRuntimeError subclasses RuntimeError, so classify by type:
-            # retry device/transport failures, never our deliberate aborts
-            retryable = isinstance(e, jax.errors.JaxRuntimeError) or \
-                not isinstance(e, (RuntimeError, KeyboardInterrupt,
-                                   AssertionError))
-            if not retryable or attempt == retries:
+        except jax.errors.JaxRuntimeError as e:
+            # only device/transport failures are retryable; every other
+            # exception (bugs, deliberate aborts, KeyboardInterrupt) raises
+            if attempt == retries:
                 raise
-            logging.warning("scale %d failed (%s: %s) — retry %d/%d from "
-                            "last checkpoint", scale_idx, type(e).__name__,
-                            str(e)[:200], attempt + 1, retries)
-            # the failed call may have consumed donated buffers; reload
-            if scale_idx > 0:
-                ckpt = saver.load_checkpoint(f"netG_{scale_idx - 1}.ckpt")
-                g_params, g_state = ckpt["params"], ckpt["state"]
-                key, kn = jax.random.split(jax.random.PRNGKey(attempt + 99))
-                g_params, g_state = init_next_stage(cfg, g_params, g_state,
-                                                    kn, ndim)
-            else:
-                g_init = models.get_generator(cfg.generator, ndim)[0]
-                g_params, g_state = g_init(cfg, jax.random.PRNGKey(attempt))
-                key = jax.random.PRNGKey(attempt + 1)
+            logging.warning("scale %d failed (%s: %s) — retry %d/%d from the "
+                            "scale entry snapshot", scale_idx,
+                            type(e).__name__, str(e)[:200], attempt + 1,
+                            retries)
+            g_params = jax.tree_util.tree_map(jnp.asarray, entry["params"])
+            g_state = jax.tree_util.tree_map(jnp.asarray, entry["state"])
+            key = jax.random.PRNGKey(attempt + 104729)
 
 
 def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
@@ -299,8 +295,7 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
     # the dataset (train_image.py:323-339); eval/export re-hydrate from it,
     # so a pre-dataset snapshot would bake ar=1.0 into their geometry
     import os as _os
-    if getattr(cfg, "saver", None) is not None:
-        cfg.write_args_txt(_os.path.join(saver.experiment_dir, "args.txt"))
+    cfg.write_args_txt(_os.path.join(saver.experiment_dir, "args.txt"))
 
     seed = seed if seed is not None else (cfg.manualSeed or 0)
     key = jax.random.PRNGKey(seed)

@@ -23,9 +23,11 @@
 #include <dlfcn.h>
 #include <sys/stat.h>
 
+#include <algorithm>
 #include <chrono>
 #include <cstdint>
 #include <cstring>
+#include <filesystem>
 #include <fstream>
 #include <iostream>
 #include <map>
@@ -142,20 +144,15 @@ std::string ReadFileToString(const std::string& path) {
 }
 
 std::vector<std::string> GetAllFiles(const std::string& dir) {
-  // reference GetAllFiles (ascend310_infer/src/utils.cc:25-44), via popen to
-  // avoid a dirent dependency on sorted order
+  // reference GetAllFiles (ascend310_infer/src/utils.cc:25-44). Uses
+  // std::filesystem so paths with spaces/metacharacters are safe.
   std::vector<std::string> files;
-  std::string cmd = "ls " + dir + "/*.bin 2>/dev/null | sort";
-  FILE* pipe = popen(cmd.c_str(), "r");
-  if (!pipe) return files;
-  char buf[4096];
-  while (fgets(buf, sizeof(buf), pipe)) {
-    std::string line(buf);
-    while (!line.empty() && (line.back() == '\n' || line.back() == '\r'))
-      line.pop_back();
-    if (!line.empty()) files.push_back(line);
+  std::error_code ec;
+  for (const auto& entry : std::filesystem::directory_iterator(dir, ec)) {
+    if (entry.is_regular_file() && entry.path().extension() == ".bin")
+      files.push_back(entry.path().string());
   }
-  pclose(pipe);
+  std::sort(files.begin(), files.end());
   return files;
 }
 
@@ -304,6 +301,14 @@ int main(int argc, char** argv) {
   auto make_buffer = [&](const void* data, size_t size,
                          PJRT_Buffer_Type type,
                          const std::vector<int64_t>& dims) {
+    // guard against stale/truncated .bin inputs: byte size must match the
+    // io_spec shape (4-byte f32/s32 elements)
+    int64_t expected = 4;
+    for (int64_t d : dims) expected *= d;
+    if (static_cast<int64_t>(size) != expected)
+      Die("input size mismatch: got " + std::to_string(size) +
+          " bytes, io_spec expects " + std::to_string(expected) +
+          " — stale bins from a previous export/preprocess?");
     PJRT_Client_BufferFromHostBuffer_Args args;
     memset(&args, 0, sizeof(args));
     args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
