@@ -1,0 +1,70 @@
+"""Tests for media export and saver IO (reference: src/utils/extract.py,
+saver.py)."""
+
+import json
+import os
+
+import numpy as np
+
+from hpvaegan_tpu.config import Config
+from hpvaegan_tpu.utils.media import generate_gifs, generate_images, make_video
+from hpvaegan_tpu.utils.saver import DataSaver, load_pytree, write_video
+
+
+def _saver(tmp_path, **kw):
+    cfg = Config(image_path="x/y/clip.jpg", checkname="m", run_dir=str(tmp_path),
+                 **kw)
+    return cfg, DataSaver(cfg)
+
+
+def test_saver_layout_and_run_id_increment(tmp_path):
+    cfg, s1 = _saver(tmp_path)
+    assert s1.experiment_dir.endswith("clip/m/experiment_0")
+    assert os.path.isdir(s1.eval_dir)
+    cfg2, s2 = _saver(tmp_path)
+    assert s2.experiment_dir.endswith("experiment_1")  # auto-increment
+
+
+def test_saver_json_and_checkpoint_roundtrip(tmp_path):
+    cfg, s = _saver(tmp_path)
+    s.save_json({"noise_amps": [1.0, 0.5], "scale_idx": 1}, "intermediate.json")
+    assert s.load_json("intermediate.json")["scale_idx"] == 1
+    tree = {"params": {"w": np.arange(6.0).reshape(2, 3)}}
+    s.save_checkpoint(tree, "netG_0.ckpt")
+    back = s.load_checkpoint("netG_0.ckpt")
+    np.testing.assert_array_equal(back["params"]["w"], tree["params"]["w"])
+
+
+def test_make_video_gif(tmp_path):
+    frames = (np.random.RandomState(0).rand(4, 16, 16, 3) * 255).astype(np.uint8)
+    path = str(tmp_path / "out.gif")
+    make_video(frames, 4, path)
+    assert os.path.getsize(path) > 0
+
+
+def test_write_video_avi(tmp_path):
+    arr = np.random.RandomState(1).rand(3, 4, 32, 32).astype(np.float32) * 2 - 1
+    path = str(tmp_path / "out.avi")
+    write_video(arr, path, fps=4.0)  # (C, T, H, W) contract
+    assert os.path.getsize(path) > 0
+
+
+def test_generate_images_and_gifs_artifacts(tmp_path):
+    cfg, s = _saver(tmp_path)
+    cfg.save_path = "images"
+    cfg.max_samples = 2
+    # random_samples.npy in the reference image layout (N, C, H, W), [-1,1]
+    np.save(os.path.join(s.eval_dir, "random_samples.npy"),
+            np.random.RandomState(2).rand(3, 3, 16, 16).astype(np.float32) * 2 - 1)
+    generate_images(cfg, s)
+    assert os.path.exists(os.path.join(s.eval_dir, "images", "fake_0.png"))
+
+    # video artifacts: real (T,H,W,C) uint8 + samples (N,C,T,H,W)
+    np.save(os.path.join(s.eval_dir, "real_full_scale.npy"),
+            (np.random.RandomState(3).rand(4, 16, 16, 3) * 255).astype(np.uint8))
+    np.save(os.path.join(s.eval_dir, "random_samples.npy"),
+            np.random.RandomState(4).rand(2, 3, 4, 16, 16).astype(np.float32))
+    generate_gifs(cfg, s)
+    out = os.path.join(s.eval_dir, "images")
+    for f in ("real.gif", "fake.gif", "real_unfold.png", "fake_unfold.png"):
+        assert os.path.exists(os.path.join(out, f)), f
