@@ -28,9 +28,18 @@ def main():
     parser.add_argument('--scale-idx', type=int, default=-1,
                         help='scale to evaluate (-1: last trained)')
     parser.add_argument('--max-samples', type=int, default=4)
+    parser.add_argument('--mesh-data', type=int, default=1,
+                        help='data-parallel devices (sample batch sharded '
+                             'over the mesh)')
+    parser.add_argument('--on-device-fid', action='store_true', default=False,
+                        help='device-resident sampling + sinFID: only '
+                             'per-sample (mu, sigma) stats leave the device '
+                             '(BASELINE config 5)')
     args = parser.parse_args()
 
     hlog.configure_logging()
+    from hpvaegan_tpu.parallel.mesh import select_device
+    select_device(args.device_id)
     for exp_dir in iter_experiment_dirs(args.exp_dir):
         if not os.path.exists(os.path.join(exp_dir, 'args.txt')):
             logging.info('Skipping %s (no args.txt)', exp_dir)
@@ -40,6 +49,8 @@ def main():
                          num_samples=args.num_samples,
                          max_samples=args.max_samples,
                          save_path=args.save_path, scale_idx=args.scale_idx,
+                         mesh_data=args.mesh_data,
+                         on_device_fid=args.on_device_fid,
                          netG=(os.path.join(exp_dir, args.netG)
                                if args.netG else ''))
         cfg = hydrate_config(exp_dir, overrides)

@@ -95,6 +95,10 @@ class Config:
     bug_compat: bool = False  # replicate reference bugs (frozen GP alpha,
     #                           severed adversarial G gradient: losses.py:26,94)
     mesh_data: int = 1  # data-parallel mesh axis size (batched sampling/training)
+    mesh_sp: int = 1  # spatial mesh axis size (H sharded when divisible; XLA
+    #                   SPMD inserts the conv halo exchanges over ICI)
+    device_id: int = 0  # which jax.devices() entry to run on (reference:
+    #                     train_image.py:276 context.set_context(device_id))
     run_dir: str = "run"  # experiment root (reference hard-codes 'run/')
 
     # --- Derived state (computed, not user flags) ---

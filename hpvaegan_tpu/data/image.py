@@ -24,6 +24,16 @@ from ..utils import pyramid
 from ..utils.noise import generate_noise
 
 
+def load_image01(path: str) -> np.ndarray:
+    """Decode an image file to (H, W, 3) float32 in [0, 1]."""
+    import imageio
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"invalid path: {path}")
+    img = np.asarray(imageio.imread(path))[:, :, :3]
+    return img.astype(np.float32) / 255.0
+
+
 class SingleImageDataset:
     def __init__(self, cfg):
         import imageio

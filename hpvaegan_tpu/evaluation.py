@@ -64,59 +64,102 @@ def load_generator(cfg, exp_dir: str, ndim: int, netG: str = ""):
     return ckpt["params"], ckpt["state"], saver
 
 
-def generate_samples(cfg, g_params, g_state, ndim: int, seed: int = 0,
-                     train_mode: bool = False) -> np.ndarray:
-    """niter batches of num_samples random samples; returns channels-last
-    (N, ..., C) in [-1, 1]."""
-    g_apply = models.get_generator(cfg.generator, ndim)[1]
-    sampler = make_sampler(cfg, g_apply, train=train_mode)
+def eval_mesh(cfg):
+    """('data','sp') mesh for sharded eval when --mesh-data > 1, else None."""
+    if getattr(cfg, "mesh_data", 1) and cfg.mesh_data > 1:
+        from .parallel.mesh import make_mesh
+        return make_mesh(cfg.mesh_data, data_parallel=cfg.mesh_data)
+    return None
+
+
+def eval_z_tail(cfg, ndim: int):
+    """Per-sample noise shape for eval-time generation (the reference
+    semantics: eval_video builds Z_init at the EVAL scale's time depth,
+    eval_video.py:36-39; baselines keep their nc_im-channel Z_init)."""
     h0, w0 = pyramid.scale_size_2d(0, cfg.scale_factor, cfg.stop_scale,
                                    cfg.img_size, cfg.ar)
     baseline = cfg.generator in ("GeneratorCSG", "GeneratorSG")
-    # baselines take nc_im-channel Z_init-shaped noise
-    # (train_video_baselines.py:41-44,124), HPVAEGAN takes latent noise
     z_ch = cfg.nc_im if baseline else cfg.latent_dim
     if ndim == 2:
-        z_shape = (cfg.num_samples, h0, w0, z_ch)
+        return (h0, w0, z_ch)
+    if baseline:
+        _, td, _ = pyramid.get_fps_td_by_index(
+            0, cfg.stop_scale_time, cfg.sampling_rates, cfg.org_fps,
+            cfg.fps_lcm)
     else:
-        if baseline:
-            # baselines fixed their Z_init at the scale-0 time depth
+        td = getattr(cfg, "td", None)
+        if not td:
             _, td, _ = pyramid.get_fps_td_by_index(
-                0, cfg.stop_scale_time, cfg.sampling_rates, cfg.org_fps,
-                cfg.fps_lcm)
-        else:
-            # reference eval builds Z_init at the EVAL scale's time depth
-            # (eval_video.py:36-39), unlike training which keeps scale-0 td
-            td = getattr(cfg, "td", None)
-            if not td:
-                _, td, _ = pyramid.get_fps_td_by_index(
-                    cfg.scale_idx, cfg.stop_scale_time, cfg.sampling_rates,
-                    cfg.org_fps, cfg.fps_lcm)
-        z_shape = (cfg.num_samples, td, h0, w0, z_ch)
+                cfg.scale_idx, cfg.stop_scale_time, cfg.sampling_rates,
+                cfg.org_fps, cfg.fps_lcm)
+    return (td, h0, w0, z_ch)
 
+
+def generate_samples(cfg, g_params, g_state, ndim: int, seed: int = 0,
+                     train_mode: bool = False, mesh=None) -> np.ndarray:
+    """niter batches of num_samples random samples; returns channels-last
+    (N, ..., C) in [-1, 1].
+
+    With a mesh, generation routes through parallel.sampling.sharded_sampler
+    (noise formed in-jit, batch sharded over 'data'). Either way samples
+    stay device-resident across iterations — ONE host transfer at the end,
+    not the per-iteration d2h the reference's sample loop implies
+    (eval_image.py:54-61)."""
+    z_tail = eval_z_tail(cfg, ndim)
+    key = jax.random.PRNGKey(seed)
+    if mesh is not None:
+        from .parallel.sampling import sharded_sampler
+        sample = sharded_sampler(cfg, g_params, g_state, ndim=ndim, mesh=mesh,
+                                 train=train_mode, z_tail=z_tail)
+        outs = []
+        for _ in range(cfg.niter):
+            key, ks = jax.random.split(key)
+            outs.append(sample(cfg.num_samples, ks, device=True))
+        return np.asarray(jnp.concatenate(outs, axis=0))
+
+    g_apply = models.get_generator(cfg.generator, ndim)[1]
+    sampler = make_sampler(cfg, g_apply, train=train_mode)
+    z_shape = (cfg.num_samples,) + z_tail
     amps = np.zeros((cfg.stop_scale + 2,), np.float32)
     amps[:len(cfg.Noise_Amps)] = cfg.Noise_Amps
     amps = jnp.asarray(amps)
 
-    key = jax.random.PRNGKey(seed)
     outs = []
     for it in range(cfg.niter):
         key, kn, ks = jax.random.split(key, 3)
         noise = jax.random.normal(kn, z_shape)
         fake, _ = sampler(g_params, g_state, noise, amps, ks)
-        outs.append(np.asarray(fake))
-    return np.concatenate(outs, axis=0)
+        outs.append(fake)  # device-resident; single d2h below
+    return np.asarray(jnp.concatenate(outs, axis=0))
 
 
 def eval_image_experiment(cfg, exp_dir: str, seed: int = 0):
     """One experiment dir: samples -> npy -> PNGs -> SIFID
-    (reference eval_image.py:179-190)."""
+    (reference eval_image.py:179-190).
+
+    With --on-device-fid, samples and Inception features never leave the
+    device; only per-sample (mu, sigma) stats transfer for the tiny Frechet
+    sqrtm (BASELINE config 5 end-to-end from the CLI)."""
     from .metrics import calculate_SIFID
     from .utils.media import generate_images
 
     g_params, g_state, saver = load_generator(cfg, exp_dir, ndim=2,
                                               netG=cfg.netG)
-    samples = generate_samples(cfg, g_params, g_state, ndim=2, seed=seed)
+    mesh = eval_mesh(cfg)
+    if getattr(cfg, "on_device_fid", False):
+        from .data.image import load_image01
+        from .parallel.sampling import sampled_sifid
+
+        real01 = load_image01(cfg.image_path)
+        vals = sampled_sifid(cfg, g_params, g_state, real01,
+                             cfg.niter * cfg.num_samples,
+                             jax.random.PRNGKey(seed), mesh=mesh,
+                             z_tail=eval_z_tail(cfg, 2))
+        sifid = float(np.mean(vals))
+        logging.info("SIFID (on-device): %s", sifid)
+        return sifid, saver
+    samples = generate_samples(cfg, g_params, g_state, ndim=2, seed=seed,
+                               mesh=mesh)
     # reference artifact layout: (N, C, H, W)
     np.save(os.path.join(saver.eval_dir, "random_samples.npy"),
             samples.transpose(0, 3, 1, 2))
@@ -149,7 +192,20 @@ def eval_video_experiment(cfg, exp_dir: str, seed: int = 0):
     np.save(os.path.join(saver.eval_dir, "real_full_scale.npy"),
             (frames * 255).astype(np.uint8))
 
-    samples = generate_samples(cfg, g_params, g_state, ndim=3, seed=seed)
+    mesh = eval_mesh(cfg)
+    if getattr(cfg, "on_device_fid", False):
+        from .parallel.sampling import sampled_svfid
+
+        vals = sampled_svfid(cfg, g_params, g_state, frames,
+                             cfg.niter * cfg.num_samples,
+                             jax.random.PRNGKey(seed), mesh=mesh,
+                             z_tail=eval_z_tail(cfg, 3))
+        svfid = float(np.mean(vals))
+        logging.info("SVFID (on-device): %s", svfid)
+        return svfid, saver
+
+    samples = generate_samples(cfg, g_params, g_state, ndim=3, seed=seed,
+                               mesh=mesh)
     # reference artifact layout: (N, C, T, H, W)
     np.save(os.path.join(saver.eval_dir, "random_samples.npy"),
             samples.transpose(0, 4, 1, 2, 3))

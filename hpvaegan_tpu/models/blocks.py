@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.conv import (activation, conv2d_init, conv3d_init, conv2d_apply,
-                        conv3d_apply, reflect_pad)
+                        conv3d_apply, prelu_init, reflect_pad)
 from ..ops.norm import batchnorm_apply, batchnorm_init
 from ..ops.spectral_norm import sn_conv_apply, sn_conv_init
 
@@ -37,12 +37,15 @@ def _conv_apply(params, x, stride, padding, ndim, compute_dtype=None):
 # --- ConvBlock: conv + BN? + act? ---
 
 def conv_block_init(key, cin: int, cout: int, ker: int, ndim: int,
-                    bn: bool = True) -> Tuple[Dict, Dict]:
+                    bn: bool = True, act: Optional[str] = "lrelu"
+                    ) -> Tuple[Dict, Dict]:
     kc, kb = jax.random.split(key)
     params: Dict = {"conv": _conv_init(kc, cin, cout, ker, ndim)}
     state: Dict = {}
     if bn:
         params["bn"], state["bn"] = batchnorm_init(kb, cout)
+    if act == "prelu":  # learnable slope (reference registry nn.PReLU)
+        params["act"] = prelu_init()
     return params, state
 
 
@@ -55,7 +58,7 @@ def conv_block_apply(params: Dict, state: Dict, x, *, padding: int,
     if "bn" in params:
         y, new_state["bn"] = batchnorm_apply(params["bn"], state["bn"], y, train)
     if act is not None:
-        y = activation(y, act)
+        y = activation(y, act, act_params=params.get("act"))
     return y, new_state
 
 

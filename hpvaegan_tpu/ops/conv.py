@@ -87,9 +87,23 @@ def reflect_pad(x: jnp.ndarray, pad: int, dims2d: bool = True) -> jnp.ndarray:
     return jnp.pad(x, cfg, mode="reflect")
 
 
-def activation(x: jnp.ndarray, act: str) -> jnp.ndarray:
+def prelu_init(num_parameters: int = 1) -> dict:
+    """Learnable PReLU parameter (reference registry: networks_2d.py:21,
+    nn.PReLU — one shared slope, init 0.25)."""
+    return {"alpha": jnp.full((num_parameters,), 0.25, jnp.float32)}
+
+
+def prelu_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    alpha = params["alpha"].astype(x.dtype)
+    # broadcast over the channel (last) axis when per-channel
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def activation(x: jnp.ndarray, act: str,
+               act_params: dict | None = None) -> jnp.ndarray:
     """Activations (reference: networks_2d.py:16-24; MindSpore LeakyReLU
-    default alpha=0.2)."""
+    default alpha=0.2). 'prelu' is LEARNABLE when act_params is provided
+    (nn.PReLU), else a fixed 0.25-slope stand-in."""
     if act == "relu":
         return jax.nn.relu(x)
     if act == "lrelu":
@@ -98,6 +112,8 @@ def activation(x: jnp.ndarray, act: str) -> jnp.ndarray:
         return jax.nn.elu(x)
     if act == "selu":
         return jax.nn.selu(x)
-    if act == "prelu":  # fixed-slope stand-in for nn.PReLU's init (0.25)
+    if act == "prelu":
+        if act_params is not None:
+            return prelu_apply(act_params, x)
         return jax.nn.leaky_relu(x, 0.25)
     raise ValueError(f"unknown activation: {act}")

@@ -36,6 +36,19 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(arr, ("data", "sp"))
 
 
+def select_device(device_id: int) -> None:
+    """Honor --device-id on multi-device hosts (reference:
+    context.set_context(device_id=...), train_image.py:276): pin default
+    placement to jax.devices()[device_id]."""
+    if not device_id:
+        return
+    devices = jax.devices()
+    if device_id >= len(devices):
+        raise ValueError(
+            f"--device-id {device_id} out of range ({len(devices)} devices)")
+    jax.config.update("jax_default_device", devices[device_id])
+
+
 def batch_sharding(mesh: Mesh, ndim: int, spatial_axis: Optional[int] = None):
     """NamedSharding: batch dim over 'data', optionally one spatial dim over
     'sp' (H for images: axis 1 of (B,H,W,C); axis 2 of (B,T,H,W,C))."""

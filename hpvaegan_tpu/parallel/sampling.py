@@ -18,23 +18,29 @@ from .mesh import batch_sharding, make_mesh, replicate_sharding
 
 
 def sharded_sampler(cfg, g_params, g_state, ndim: int = 2, mesh=None,
-                    train: bool = False):
+                    train: bool = False, z_tail=None):
     """Returns sample(num_samples, key) -> (N, ..., C) host array in [-1,1].
 
     num_samples must be a multiple of the mesh's data-axis size; the noise
     batch is sharded over 'data', params are replicated, and XLA runs the
-    fully-parallel forward with zero collectives (embarrassingly parallel)."""
+    fully-parallel forward with zero collectives (embarrassingly parallel).
+
+    z_tail overrides the per-sample noise shape (e.g. the eval CLI's
+    eval-scale time depth, reference eval_video.py:36-39, or the baselines'
+    nc_im-channel Z_init)."""
     mesh = mesh or make_mesh()
     g_apply = models.get_generator(cfg.generator, ndim)[1]
     h0, w0 = pyramid.scale_size_2d(0, cfg.scale_factor, cfg.stop_scale,
                                    cfg.img_size, cfg.ar)
-    if ndim == 2:
-        z_tail = (h0, w0, cfg.latent_dim)
-    else:
-        _, td0, _ = pyramid.get_fps_td_by_index(0, cfg.stop_scale_time,
-                                                cfg.sampling_rates, cfg.org_fps,
-                                                cfg.fps_lcm)
-        z_tail = (td0, h0, w0, cfg.latent_dim)
+    if z_tail is None:
+        if ndim == 2:
+            z_tail = (h0, w0, cfg.latent_dim)
+        else:
+            _, td0, _ = pyramid.get_fps_td_by_index(0, cfg.stop_scale_time,
+                                                    cfg.sampling_rates,
+                                                    cfg.org_fps, cfg.fps_lcm)
+            z_tail = (td0, h0, w0, cfg.latent_dim)
+    z_tail = tuple(z_tail)
 
     amps = np.zeros((cfg.stop_scale + 2,), np.float32)
     amps[:len(cfg.Noise_Amps)] = cfg.Noise_Amps
@@ -84,7 +90,7 @@ def _per_sample_stats(feats):
 
 
 def sampled_sifid(cfg, g_params, g_state, real_image, num_samples: int, key,
-                  mesh=None, dims: int = 64):
+                  mesh=None, dims: int = 64, z_tail=None):
     """BASELINE config 5: batched diverse-sample generation WITH on-device
     sinFID. Samples and Inception block features never leave the device;
     only per-sample (mu: dims, sigma: dims x dims) statistics transfer to
@@ -96,7 +102,8 @@ def sampled_sifid(cfg, g_params, g_state, real_image, num_samples: int, key,
     from ..metrics.fid import calculate_frechet_distance
     from ..metrics.inception import InceptionV3
 
-    sample = sharded_sampler(cfg, g_params, g_state, ndim=2, mesh=mesh)
+    sample = sharded_sampler(cfg, g_params, g_state, ndim=2, mesh=mesh,
+                             z_tail=z_tail)
     model = InceptionV3([InceptionV3.BLOCK_INDEX_BY_DIM[dims]])
     stats = _per_sample_stats
 
@@ -120,7 +127,7 @@ def sampled_sifid(cfg, g_params, g_state, real_image, num_samples: int, key,
 
 
 def sampled_svfid(cfg, g_params, g_state, real_video, num_samples: int, key,
-                  mesh=None, dims: int = 64):
+                  mesh=None, dims: int = 64, z_tail=None):
     """Video variant of sampled_sifid (BASELINE config 5: batched diverse-
     sample VIDEO generation with on-device sinFID): samples and C3D block
     features stay on device; per-sample statistics are the only transfer.
@@ -131,7 +138,8 @@ def sampled_svfid(cfg, g_params, g_state, real_video, num_samples: int, key,
     from ..metrics.fid import calculate_frechet_distance
     from ..ops.resize import resize_trilinear
 
-    sample = sharded_sampler(cfg, g_params, g_state, ndim=3, mesh=mesh)
+    sample = sharded_sampler(cfg, g_params, g_state, ndim=3, mesh=mesh,
+                             z_tail=z_tail)
     model = C3D([C3D.BLOCK_INDEX_BY_DIM[dims]])
     stats = _per_sample_stats
 

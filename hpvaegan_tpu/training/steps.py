@@ -154,9 +154,17 @@ def make_train_chunk(cfg, g_apply: Callable, d_apply: Callable, opt_g, opt_d,
         d_step = _d_step_core(cfg, g_apply, d_apply, opt_d, cd)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
+        sp = mesh.shape.get("sp", 1)
 
         def _shard(x):
-            spec = ("data",) + (None,) * (x.ndim - 1)
+            spec = ["data"] + [None] * (x.ndim - 1)
+            if sp > 1 and x.ndim >= 4:
+                # H axis: 1 for (B,H,W,C) images, 2 for (B,T,H,W,C) video.
+                # XLA SPMD inserts the conv halo exchanges; only shard when
+                # divisible so the ceil-ladder's odd sizes fall back cleanly.
+                h_axis = 1 if x.ndim == 4 else 2
+                if x.shape[h_axis] % sp == 0:
+                    spec[h_axis] = "sp"
             return jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P(*spec)))
     else:

@@ -98,11 +98,12 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
     # Optional data-parallel mesh (batch sharded over 'data', params
     # replicated; a capability the reference lacks — SURVEY §2.3)
     mesh = None
-    if cfg.mesh_data > 1:
+    if cfg.mesh_data > 1 or cfg.mesh_sp > 1:
         from ..parallel.mesh import make_mesh, replicate_sharding
         assert cfg.batch_size % cfg.mesh_data == 0, \
             f"batch {cfg.batch_size} not divisible by mesh_data {cfg.mesh_data}"
-        mesh = make_mesh(cfg.mesh_data, data_parallel=cfg.mesh_data)
+        mesh = make_mesh(cfg.mesh_data * cfg.mesh_sp,
+                         data_parallel=cfg.mesh_data)
 
     # Fused iteration chunks: `steps_per_call` iterations (batch + D + G)
     # per XLA dispatch. Host dispatch dominates small scales on TPU.
@@ -251,7 +252,8 @@ def _train_scale_with_retry(cfg, g_params, g_state, dataset, saver,
     # host snapshot of the scale's ENTRY state: the failed attempt may have
     # consumed donated device buffers, and checkpoint files may live in a
     # different directory on resumed runs — the snapshot is directory-free
-    entry = tree_to_numpy({"params": g_params, "state": g_state})
+    entry = tree_to_numpy({"params": g_params, "state": g_state,
+                           "key": key})
     for attempt in range(retries + 1):
         try:
             # first failure may mean the combined chunk program exceeded the
@@ -271,7 +273,10 @@ def _train_scale_with_retry(cfg, g_params, g_state, dataset, saver,
                             retries)
             g_params = jax.tree_util.tree_map(jnp.asarray, entry["params"])
             g_state = jax.tree_util.tree_map(jnp.asarray, entry["state"])
-            key = jax.random.PRNGKey(attempt + 104729)
+            # restore the scale-entry RNG key so a retried run stays
+            # reproducible from its seed (the failed attempt's draws are
+            # discarded along with its params)
+            key = jnp.asarray(entry["key"])
 
 
 def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
@@ -281,6 +286,9 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
     ndim = 2 if mode == "image" else 3
     assert cfg.vae_levels > 0
     assert cfg.disc_loss_weight > 0
+
+    from ..parallel.mesh import select_device
+    select_device(cfg.device_id)
 
     saver = getattr(cfg, "saver", None) or DataSaver(cfg)
     cfg.saver = saver

@@ -84,3 +84,45 @@ def test_eval_baseline_flow(tmp_path):
     assert np.isfinite(svfid)
     samples = np.load(os.path.join(esaver.eval_dir, "random_samples.npy"))
     assert samples.ndim == 5 and samples.shape[1] == 3
+
+
+def test_eval_image_on_device_fid(tmp_path):
+    """--on-device-fid --mesh-data path: sharded device-resident sampling,
+    only per-sample (mu, sigma) stats leave the device (BASELINE config 5
+    reachable from the eval CLI, not just bench)."""
+    cfg = Config(image_path=IMG, checkname="eod", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=24, min_size=12,
+                 max_size=24, vae_levels=1, print_interval=100,
+                 run_dir=str(tmp_path), manualSeed=1).finalize()
+    _, _, _, saver = run_training(cfg, mode="image", seed=1)
+    exp_dir = saver.experiment_dir
+
+    ecfg = hydrate_config(exp_dir, dict(niter=1, num_samples=8, max_samples=4,
+                                        batch_size=1, data_rep=1,
+                                        save_path="images", scale_idx=-1,
+                                        mesh_data=8, on_device_fid=True,
+                                        netG=""))
+    sifid, _ = eval_image_experiment(ecfg, exp_dir, seed=0)
+    assert np.isfinite(sifid) and sifid >= 0
+
+
+def test_eval_image_mesh_sampling(tmp_path):
+    """--mesh-data WITHOUT on-device FID: artifacts still produced, sampling
+    routed through the sharded sampler."""
+    import os
+
+    cfg = Config(image_path=IMG, checkname="em", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=24, min_size=12,
+                 max_size=24, vae_levels=1, print_interval=100,
+                 run_dir=str(tmp_path), manualSeed=1).finalize()
+    _, _, _, saver = run_training(cfg, mode="image", seed=1)
+    exp_dir = saver.experiment_dir
+
+    ecfg = hydrate_config(exp_dir, dict(niter=1, num_samples=8, max_samples=4,
+                                        batch_size=1, data_rep=1,
+                                        save_path="images", scale_idx=-1,
+                                        mesh_data=8, netG=""))
+    sifid, esaver = eval_image_experiment(ecfg, exp_dir, seed=0)
+    assert np.isfinite(sifid)
+    samples = np.load(os.path.join(esaver.eval_dir, "random_samples.npy"))
+    assert samples.shape[0] == 8

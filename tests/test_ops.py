@@ -102,3 +102,43 @@ def test_sn_grad_flows_through_sigma_not_uv():
     g = jax.grad(loss)(params)
     assert np.isfinite(np.asarray(g["w"])).all()
     assert float(jnp.abs(g["w"]).max()) > 0
+
+
+def test_prelu_learnable_grad():
+    """nn.PReLU parity (reference registry networks_2d.py:21): learnable
+    shared slope, init 0.25, gradient flows to alpha."""
+    import jax
+    import jax.numpy as jnp
+
+    from hpvaegan_tpu.ops.conv import activation, prelu_apply, prelu_init
+
+    p = prelu_init()
+    assert float(p["alpha"][0]) == 0.25
+    x = jnp.array([-2.0, -1.0, 0.0, 1.0, 3.0])
+    # at init, identical to the fixed-slope stand-in
+    np.testing.assert_allclose(np.asarray(prelu_apply(p, x)),
+                               np.asarray(activation(x, "prelu")))
+    # activation() routes to the learnable path when params are given
+    np.testing.assert_allclose(np.asarray(activation(x, "prelu", p)),
+                               np.asarray(prelu_apply(p, x)))
+
+    g = jax.grad(lambda pp: jnp.sum(prelu_apply(pp, x)))(p)
+    # d/dalpha = sum of negative inputs = -3
+    np.testing.assert_allclose(np.asarray(g["alpha"]), [-3.0], rtol=1e-6)
+
+
+def test_conv_block_prelu_param():
+    """conv_block_init(act='prelu') carries the learnable slope."""
+    import jax
+
+    from hpvaegan_tpu.models.blocks import conv_block_apply, conv_block_init
+
+    p, s = conv_block_init(jax.random.PRNGKey(0), 3, 8, 3, ndim=2,
+                           act="prelu")
+    assert "act" in p
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 3))
+    y, _ = conv_block_apply(p, s, x, padding=1, act="prelu", train=True)
+    assert y.shape == (1, 8, 8, 8)
+    g = jax.grad(lambda pp: float(0) + (conv_block_apply(
+        pp, s, x, padding=1, act="prelu", train=True)[0] ** 2).sum())(p)
+    assert float(np.abs(np.asarray(g["act"]["alpha"])).max()) > 0

@@ -141,3 +141,24 @@ def test_data_parallel_training(tmp_path):
     g_params, _, amps, _ = run_training(cfg, mode="image", seed=1)
     assert len(amps) == cfg.stop_scale + 1
     assert all(np.isfinite(a) for a in amps)
+
+
+def test_spatial_sharded_training(tmp_path):
+    """Trainer-level sp>1: one tiny run on a ('data':2, 'sp':4) mesh — the
+    formed batch is H-sharded over 'sp' at scales where H divides 4 (XLA
+    SPMD inserts the conv halo exchanges), falling back to replicated-H
+    otherwise."""
+    import os
+
+    from hpvaegan_tpu.training.trainer import run_training
+
+    img = os.path.join(os.path.dirname(__file__), "..", "data", "imgs",
+                       "air_balloons.jpg")
+    cfg = Config(image_path=img, checkname="sp", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=24, min_size=12,
+                 max_size=24, vae_levels=1, batch_size=2, mesh_data=2,
+                 mesh_sp=4, steps_per_call=2, run_dir=str(tmp_path),
+                 manualSeed=1).finalize()
+    g_params, _, amps, _ = run_training(cfg, mode="image", seed=1)
+    assert len(amps) == cfg.stop_scale + 1
+    assert all(np.isfinite(a) for a in amps)

@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help='capture a jax.profiler trace of the run into this dir')
     parser.add_argument('--mesh-data', type=int, default=1,
                         help='data-parallel devices (batch sharded over the mesh)')
+    parser.add_argument('--mesh-sp', type=int, default=1,
+                        help='spatial mesh axis (H sharded when divisible; '
+                             'XLA SPMD inserts the conv halo exchanges)')
     parser.add_argument('--fused-dg', action='store_true', default=False,
                         help='share one fake forward between D and G losses (~10%% faster; '
                              'deviates from per-step fresh fake noise)')
@@ -100,8 +103,6 @@ def build_parser() -> argparse.ArgumentParser:
 def cfg_from_args(args: argparse.Namespace) -> Config:
     cfg = Config()
     for k, v in vars(args).items():
-        if k == 'device_id':
-            continue
         if hasattr(cfg, k):
             setattr(cfg, k, v)
     return cfg

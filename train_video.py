@@ -43,8 +43,6 @@ def build_parser() -> argparse.ArgumentParser:
 def cfg_from_args(args: argparse.Namespace) -> Config:
     cfg = Config()
     for k, v in vars(args).items():
-        if k == 'device_id':
-            continue
         if hasattr(cfg, k):
             setattr(cfg, k, v)
     return cfg
