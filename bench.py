@@ -12,16 +12,18 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
 
 vs_baseline: the driver target is >=10x MindSpore-CPU step throughput
-(BASELINE.md). MindSpore CPU on this workload is estimated at 0.25 steps/s
-(a ~36-GFLOP fwd+bwd+GP iteration on host CPU); target = 2.5 steps/s;
-vs_baseline = value / 2.5. The estimate is recorded here until a real
-MindSpore-CPU measurement can be taken (MindSpore is not installed in this
-image).
+(BASELINE.md). MindSpore is not installable in this image, so the baseline
+is a MEASUREMENT of this same finest-scale D+G step on the host CPU
+(scripts/measure_cpu_baseline.py -> benchdata/cpu_baseline.json; methodology
+recorded there and in BASELINE.md). XLA:CPU is an optimistic stand-in for
+MindSpore-CPU, so target = 10 x measured is conservative;
+vs_baseline = value / target.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -29,15 +31,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MS_CPU_EST_STEPS_PER_SEC = 0.25
-TARGET = 10 * MS_CPU_EST_STEPS_PER_SEC
+
+def target_steps_per_sec() -> float:
+    """10x the measured CPU baseline (lazy: the measurement script itself
+    imports this module before the JSON exists)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchdata", "cpu_baseline.json")
+    with open(path) as f:
+        return 10 * float(json.load(f)["steps_per_sec"])
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(scale_idx: int, compute_dtype: str):
+def build(scale_idx: int, compute_dtype: str, steps_per_call: int = None):
     from hpvaegan_tpu import models
     from hpvaegan_tpu.config import Config
     from hpvaegan_tpu.data.image import (SingleImageDataset,
@@ -52,6 +60,8 @@ def build(scale_idx: int, compute_dtype: str):
     cfg = Config(image_path="data/imgs/air_balloons.jpg",
                  compute_dtype=compute_dtype).finalize()
     cfg.scale_idx = scale_idx
+    if steps_per_call:
+        cfg.steps_per_call = steps_per_call
     dataset = SingleImageDataset(cfg)
 
     g_init, g_apply = models.get_generator(cfg.generator, 2)
@@ -74,8 +84,11 @@ def build(scale_idx: int, compute_dtype: str):
 
     vae_phase = cfg.vae_levels >= scale_idx + 1
     batch_body = make_image_batch_body(cfg, scale_idx)
+    g_pair = models.get_generator_pair(cfg.generator, 2) \
+        if getattr(cfg, "paired_g", False) else None
     chunk = make_train_chunk(cfg, g_apply, d_apply, opt_g, opt_d, plan,
-                             vae_phase, batch_body, cfg.steps_per_call)
+                             vae_phase, batch_body, cfg.steps_per_call,
+                             g_pair=g_pair)
     data_scale = dataset.scale_image(scale_idx)
     data_zero = dataset.scale_image(0)
     amps = jnp.concatenate([jnp.ones((scale_idx + 1,)),
@@ -143,6 +156,38 @@ def bench_sampling(num_samples: int = 64, reps: int = 5,
     float(np.asarray(checksum(out)))
     dt = time.perf_counter() - t0
     return num_samples * reps / dt
+
+
+def bench_eval_sifid(num_samples: int = 64) -> float:
+    """End-to-end BASELINE config 5 from the eval path: generate 64 diverse
+    samples at full depth AND compute their sinFID on device (per-sample
+    (mu, sigma) stats are the only host transfer). Returns seconds of
+    wall-time for the warm pipeline (reference equivalent:
+    eval_image.py:54-61,188 — a host sample loop + file-based FID)."""
+    from hpvaegan_tpu import models
+    from hpvaegan_tpu.config import Config
+    from hpvaegan_tpu.data.image import SingleImageDataset
+    from hpvaegan_tpu.models.networks_2d import generator_init_next_stage
+    from hpvaegan_tpu.parallel.sampling import sampled_sifid
+
+    cfg = Config(image_path="data/imgs/air_balloons.jpg").finalize()
+    ds = SingleImageDataset(cfg)
+    cfg.Noise_Amps = [1.0] + [0.1] * cfg.stop_scale
+    g_init, _ = models.get_generator(cfg.generator, 2)
+    g_params, g_state = g_init(cfg, jax.random.PRNGKey(0))
+    for i in range(cfg.stop_scale):
+        g_params, g_state = generator_init_next_stage(cfg, g_params, g_state,
+                                                      jax.random.PRNGKey(i))
+    real01 = np.asarray(ds.image_full_scale[0])
+    # warm (compiles sampler + Inception)
+    sampled_sifid(cfg, g_params, g_state, real01, num_samples,
+                  jax.random.PRNGKey(1))
+    t0 = time.perf_counter()
+    vals = sampled_sifid(cfg, g_params, g_state, real01, num_samples,
+                         jax.random.PRNGKey(2))
+    dt = time.perf_counter() - t0
+    assert len(vals) == num_samples
+    return dt
 
 
 def bench_video_scale(scale_idx: int = 6, iters: int = 16) -> float:
@@ -224,6 +269,8 @@ def main():
         log(f"batched generation (64/batch, full depth, f32): {ips:.2f} images/s")
         ips16 = bench_sampling(compute_dtype="bfloat16")
         log(f"batched generation (bf16 flow-through): {ips16:.2f} images/s")
+        secs = bench_eval_sifid()
+        log(f"end-to-end 64 samples + on-device sinFID: {secs:.2f} s")
     if args.video:
         vsps = bench_video_scale()
         log(f"video train step (finest 128px scale, td 13): {vsps:.2f} steps/s")
@@ -234,7 +281,7 @@ def main():
         "metric": "train_steps_per_sec_finest_scale_256px_image",
         "value": round(sps, 4),
         "unit": "steps/sec",
-        "vs_baseline": round(sps / TARGET, 4),
+        "vs_baseline": round(sps / target_steps_per_sec(), 4),
     }))
 
 

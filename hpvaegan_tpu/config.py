@@ -86,6 +86,11 @@ class Config:
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' for conv compute
     steps_per_call: int = 8  # training iterations fused per XLA dispatch
     #                          (lax.scan chunk; 1 = reference-like stepping)
+    scan_unroll: int = 1  # unroll factor of the iteration scan (straight-line
+    #                       code frees XLA from the carry-layout contract)
+    paired_g: bool = False  # GAN-phase G step: recon+fake in ONE width-2B
+    #                         forward with per-half BN stats (exact vs the
+    #                         two separate forwards; different noise stream)
     pallas_fused_sampling: bool = False  # TPU: fused Pallas upscale+noise in
     #                          the no-grad sampling path (~1.8x on that op)
     fused_dg: bool = False  # GAN phase: D and G losses share ONE fake forward

@@ -60,7 +60,14 @@ def d_loss_fn(cfg, d_apply, real, fake, alpha):
     (reference: losses.py:27-45; fake is stop_gradient'ed by the caller).
 
     Applies d_apply to `real` FIRST — steps._d_step_core captures the
-    spectral-norm (u,v) state update from that first application."""
+    spectral-norm (u,v) state update from that first application.
+
+    Keeps the reference's separate D applications deliberately: batching
+    them measured SLOWER on v5e despite exact per-sample semantics (no BN
+    in D) — real|fake|interp in one width-3B graph 29.7 steps/s and
+    real|fake in one width-2B graph 44.4 vs 46.8 separate; the GP
+    double-backward width and the forced concat materialization eat the
+    op-count saving (docs/PERF.md)."""
     err_real = -jnp.mean(d_apply(real).astype(jnp.float32))
     err_fake = jnp.mean(d_apply(fake).astype(jnp.float32))
     gp = gradient_penalty(d_apply, real, fake, alpha, cfg.lambda_grad)

@@ -36,10 +36,21 @@ DISCRIMINATORS_3D = {
 }
 
 
+GENERATOR_PAIRS = {
+    # width-2B recon+fake forward (per-half BN): steps._g_step_core fast path
+    (2, "GeneratorHPVAEGAN"): networks_2d.generator_hpvaegan_apply_pair,
+}
+
+
 def get_generator(name: str, ndim: int = 2):
     table = GENERATORS_2D if ndim == 2 else GENERATORS_3D
     assert name in table, f"unknown generator {name} (have {list(table)})"
     return table[name]
+
+
+def get_generator_pair(name: str, ndim: int = 2):
+    """Paired recon+fake apply, or None when the model has no fused variant."""
+    return GENERATOR_PAIRS.get((ndim, name))
 
 
 def get_discriminator(name: str, ndim: int = 2):

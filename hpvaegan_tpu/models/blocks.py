@@ -52,11 +52,13 @@ def conv_block_init(key, cin: int, cout: int, ker: int, ndim: int,
 def conv_block_apply(params: Dict, state: Dict, x, *, padding: int,
                      stride: int = 1, act: Optional[str] = "lrelu",
                      train: bool = False, ndim: int = 2,
-                     compute_dtype=None) -> Tuple[jnp.ndarray, Dict]:
+                     compute_dtype=None,
+                     bn_groups: int = 1) -> Tuple[jnp.ndarray, Dict]:
     y = _conv_apply(params["conv"], x, stride, padding, ndim, compute_dtype)
     new_state: Dict = {}
     if "bn" in params:
-        y, new_state["bn"] = batchnorm_apply(params["bn"], state["bn"], y, train)
+        y, new_state["bn"] = batchnorm_apply(params["bn"], state["bn"], y,
+                                             train, groups=bn_groups)
     if act is not None:
         y = activation(y, act, act_params=params.get("act"))
     return y, new_state
@@ -140,12 +142,13 @@ def conv_stack_init(key, cin: int, mid: int, cout: int, ker: int,
 
 
 def conv_stack_apply(params: Dict, state: Dict, x, *, ker: int, padd: int,
-                     train: bool, ndim: int,
-                     compute_dtype=None) -> Tuple[jnp.ndarray, Dict]:
+                     train: bool, ndim: int, compute_dtype=None,
+                     bn_groups: int = 1) -> Tuple[jnp.ndarray, Dict]:
     new_blocks = []
     for p, s in zip(params["blocks"], state["blocks"]):
         x, ns = conv_block_apply(p, s, x, padding=padd, train=train, ndim=ndim,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype,
+                                 bn_groups=bn_groups)
         new_blocks.append(ns)
     x = _conv_apply(params["tail"], x, 1, ker // 2, ndim, compute_dtype)
     return x, {"blocks": new_blocks}

@@ -175,7 +175,8 @@ def generator_init_next_stage(cfg, params: Dict, state: Dict, key,
 def refinement_layers(cfg, body_params: List, body_state: List, x, amps,
                       key, *, start_idx: int = 0, is_random: bool,
                       noise_from_level: int = 0, train: bool,
-                      compute_dtype=None):
+                      compute_dtype=None, bn_groups: int = 1,
+                      noise_mask=None):
     """Residual refinement chain (networks_2d.py:266-282).
 
     amps: (stop_scale+1,) array of per-scale noise amplitudes (the reference
@@ -210,12 +211,15 @@ def refinement_layers(cfg, body_params: List, body_state: List, x, amps,
             if is_random and idx + 1 >= noise_from_level:
                 key, sub = jax.random.split(key)
                 noise = generate_noise(sub, x_up.shape)
+                if noise_mask is not None:  # paired fwd: fake rows only
+                    noise = noise * noise_mask
                 x_in = x_up + (noise * amps[idx + 1]).astype(x_up.dtype)
             else:
                 x_in = x_up
         y, ns = B.conv_stack_apply(block_p, block_s, x_in, ker=cfg.ker_size,
                                    padd=cfg.padd_size, train=train, ndim=2,
-                                   compute_dtype=compute_dtype)
+                                   compute_dtype=compute_dtype,
+                                   bn_groups=bn_groups)
         new_states.append(ns)
         x = jnp.tanh(y + x_up)
     return x, new_states
@@ -262,6 +266,52 @@ def generator_hpvaegan_apply(cfg, params, state, *, video=None, amps,
                                   train=train, compute_dtype=compute_dtype)
     new_state["body"] = body_s
     return (x, vae_out, mu, logvar), new_state
+
+
+def generator_hpvaegan_apply_pair(cfg, params, state, *, video, amps,
+                                  noise_init, key, train: bool = True,
+                                  compute_dtype=None):
+    """Reconstruction + random-mode fake in ONE width-2B forward.
+
+    The unfused GAN-phase G step runs the generator twice (reconstruction on
+    `video`, fake on `noise_init` — steps._g_step_core); here the decoder +
+    refinement chain runs once on the stacked batch. Exact vs the two
+    separate forwards: batchnorm uses per-half statistics with sequential
+    moving-stat folding (ops/norm.py groups=2 — recon half first, matching
+    the gs1->gs2 threading), and refinement noise is masked to the fake
+    half. Returns ((gen, fake, vae_out, mu, logvar), new_state).
+    """
+    kz, kr = jax.random.split(key)
+    new_state = dict(state)
+    (mu, logvar), enc_s = encode2dvae_apply(cfg, params["encode"],
+                                            state["encode"], video,
+                                            compute_dtype)
+    new_state["encode"] = enc_s
+    if train:
+        std = jnp.exp(logvar * 0.5)
+        eps = generate_noise(kz, std.shape)
+        z_vae = eps * std + mu
+    else:
+        z_vae = generate_noise(kz, mu.shape)
+    b = z_vae.shape[0]
+    z_all = jnp.concatenate([z_vae, noise_init.astype(z_vae.dtype)], axis=0)
+
+    dec_out, dec_s = B.conv_stack_apply(params["decoder"], state["decoder"],
+                                        z_all, ker=cfg.ker_size,
+                                        padd=cfg.padd_size, train=train,
+                                        ndim=2, compute_dtype=compute_dtype,
+                                        bn_groups=2)
+    new_state["decoder"] = dec_s
+    vae_all = jnp.tanh(dec_out)
+
+    mask = jnp.concatenate([jnp.zeros((b,)), jnp.ones((noise_init.shape[0],))])
+    mask = mask.reshape((-1,) + (1,) * (vae_all.ndim - 1))
+    x, body_s = refinement_layers(cfg, params["body"], state["body"], vae_all,
+                                  amps, kr, start_idx=0, is_random=True,
+                                  train=train, compute_dtype=compute_dtype,
+                                  bn_groups=2, noise_mask=mask)
+    new_state["body"] = body_s
+    return (x[:b], x[b:], vae_all[:b], mu, logvar), new_state
 
 
 # ------------------------------------------------- GeneratorVAE_nb variant ---

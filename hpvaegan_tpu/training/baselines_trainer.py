@@ -8,7 +8,13 @@ is broken as shipped (a PyTorch `.to(opt.device)` leftover at :340 and a
 loss cell that indexes VAE outputs the baselines don't produce); this is the
 working TPU-native equivalent. Z_init is persisted to the experiment dir so
 resume/eval reproduce the reconstruction path (the reference kept it only in
-memory)."""
+memory).
+
+Shares the main trainer's machinery: fused lax.scan iteration chunks
+(steps.make_train_chunk — one XLA dispatch per steps_per_call iterations),
+elastic scale retry with split-step fallback, and optional
+data/spatial-parallel mesh sharding.
+"""
 
 from __future__ import annotations
 
@@ -22,16 +28,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import models
-from ..data.video import SingleVideoDataset, make_video_batch_fn
+from ..data.video import SingleVideoDataset, make_video_batch_body
 from ..models import networks_3d
-from ..optim import adam
+from ..optim import adam, clipped_adam
 from ..utils import pyramid
 from ..utils.progress import create_progressbar
 from ..utils.saver import DataSaver
 from .partition import lr_tree_for, make_baseline_lr_plan, split_params
 from .state import ScaleTrainState
-from .steps import make_d_step, make_g_step
-from .trainer import _amps_array
+from .steps import (make_calibration, make_d_step, make_g_step,
+                    make_train_chunk)
+from .trainer import _amps_array, run_scale_with_retry
 
 _NEXT_STAGE = {
     "GeneratorCSG": networks_3d.generator_csg_next_stage,
@@ -61,8 +68,137 @@ def make_baseline_g_apply(base_apply, z_init):
     return g_apply
 
 
+def make_baseline_batch_body(cfg, scale_idx: int, z_tail):
+    """Batch former for baselines: real windows from the video pipeline,
+    noise at Z_init's shape with nc_im channels
+    (train_video_baselines.py:124)."""
+    inner = make_video_batch_body(cfg, scale_idx)
+    batch = cfg.batch_size
+
+    def body(data_scale, data_zero, key):
+        k_inner, k_noise = jax.random.split(key)
+        real, real_zero, _ = inner(data_scale, data_zero, k_inner)
+        noise_init = jax.random.normal(k_noise, (batch,) + tuple(z_tail))
+        return real, real_zero, noise_init
+
+    return body
+
+
+def _train_baseline_scale(cfg, g_apply, d_apply, d_init, dataset, saver,
+                          noise_amps: List[float], z_init, g_params, g_state,
+                          key, step_callback=None, split_steps: bool = False,
+                          mesh=None):
+    """One baseline scale; returns (g_params, g_state, noise_amps, key)."""
+    scale_idx = cfg.scale_idx
+
+    # fresh D, warm-started from the previous scale (baselines warm-start
+    # at EVERY scale > 0, train_video_baselines.py:51-54)
+    key, kd = jax.random.split(key)
+    d_params, d_state = d_init(cfg, kd)
+    if scale_idx > 0:
+        ckpt = saver.load_checkpoint(f"netD_{scale_idx - 1}.ckpt")
+        d_params, d_state = ckpt["params"], ckpt["state"]
+
+    plan = make_baseline_lr_plan(cfg, scale_idx, len(g_params["body"]),
+                                 has_head="head" in g_params,
+                                 has_tail="tail" in g_params)
+    trainable, _ = split_params(g_params, plan)
+    # baselines use plain (unclipped) Adam for G too
+    # (train_video_baselines.py:85)
+    opt_g = clipped_adam(lr_tree_for(trainable, plan), cfg.beta1,
+                         grad_clip=float("inf"))
+    opt_d = adam(cfg.lr_d, cfg.beta1)
+
+    batch_body = make_baseline_batch_body(cfg, scale_idx, z_init.shape[1:])
+    batch_fn = jax.jit(batch_body)
+    data_scale = dataset.scale_frames(scale_idx)
+    data_zero = dataset.scale_frames(0)
+
+    if split_steps:
+        g_step = make_g_step(cfg, g_apply, d_apply, opt_g, plan,
+                             vae_phase=False)
+        d_step = make_d_step(cfg, g_apply, d_apply, opt_d)
+        spc = 1
+        chunk = chunk_rem = None
+    else:
+        spc = max(1, min(cfg.steps_per_call, cfg.niter))
+        chunk = make_train_chunk(cfg, g_apply, d_apply, opt_g, opt_d, plan,
+                                 False, batch_body, spc, mesh=mesh)
+        rem = cfg.niter % spc
+        chunk_rem = None
+        if rem:
+            chunk_rem = make_train_chunk(cfg, g_apply, d_apply, opt_g, opt_d,
+                                         plan, False, batch_body, rem,
+                                         mesh=mesh)
+
+    key, ks = jax.random.split(key)
+    state = ScaleTrainState(g_params, g_state, d_params, d_state,
+                            opt_g.init(trainable), opt_d.init(d_params), ks)
+    if mesh is not None:
+        from ..parallel.mesh import replicate_sharding
+        state = jax.device_put(state, replicate_sharding(mesh))
+
+    # noise-amp calibration: one host scalar per scale
+    # (train_video_baselines.py:104-117)
+    if scale_idx == 0:
+        noise_amps.append(1.0)
+    else:
+        noise_amps.append(0.0)
+        calib = make_calibration(cfg, g_apply)
+        key, kb, kc = jax.random.split(key, 3)
+        real, real_zero, _ = batch_fn(data_scale, data_zero, kb)
+        rmse = calib(state.g_params, state.g_state, real, real_zero,
+                     _amps_array(noise_amps, cfg.stop_scale), kc)
+        noise_amps[-1] = cfg.noise_amp_init * float(rmse) / cfg.batch_size
+    amps = _amps_array(noise_amps, cfg.stop_scale)
+
+    bar = create_progressbar(total=cfg.niter,
+                             desc=f"Training scale [{scale_idx + 1}/"
+                                  f"{cfg.stop_scale + 1}]")
+    t0 = time.time()
+    metrics = {}
+    for iteration in range(0, cfg.niter, spc):
+        if split_steps:
+            key, kb = jax.random.split(key)
+            real, real_zero, noise_init = batch_fn(data_scale, data_zero, kb)
+            state, d_metrics = d_step(state, real, noise_init, amps)
+            state, metrics = g_step(state, real, real_zero, noise_init, amps)
+            metrics.update(d_metrics)
+        else:
+            this_chunk = chunk if iteration + spc <= cfg.niter else chunk_rem
+            state, metrics = this_chunk(state, data_scale, data_zero, amps)
+        done = min(iteration + spc, cfg.niter)
+        bar.update(done - iteration)
+
+        if done % cfg.print_interval < spc:
+            vals = {k: float(v) for k, v in metrics.items()}
+            bad = [k for k, v in vals.items() if not np.isfinite(v)]
+            if bad:
+                raise RuntimeError(
+                    f"non-finite training metrics {bad} at scale "
+                    f"{scale_idx} iter {done} (amps={noise_amps})")
+            logging.logbook("[Scale {}/Iter {}] {}".format(
+                scale_idx + 1, done,
+                ", ".join(f"{k}: {v:.5f}" for k, v in sorted(vals.items()))))
+        if step_callback is not None:
+            step_callback(done, state, metrics)
+    bar.close()
+    logging.info("scale %d done in %.1fs", scale_idx, time.time() - t0)
+
+    saver.save_json({"noise_amps": noise_amps, "scale_idx": scale_idx},
+                    "intermediate.json")
+    saver.save_checkpoint({"params": state.g_params, "state": state.g_state},
+                          f"netG_{scale_idx}.ckpt")
+    saver.save_checkpoint({"params": state.d_params, "state": state.d_state},
+                          f"netD_{scale_idx}.ckpt")
+    return state.g_params, state.g_state, noise_amps, key
+
+
 def run_training(cfg, seed: int = 0, step_callback=None):
     """Full multi-scale baseline run. Returns (g_params, g_state, amps, saver)."""
+    from ..parallel.mesh import select_device
+    select_device(cfg.device_id)
+
     saver = getattr(cfg, "saver", None) or DataSaver(cfg)
     cfg.saver = saver
     dataset = SingleVideoDataset(cfg)
@@ -76,6 +212,14 @@ def run_training(cfg, seed: int = 0, step_callback=None):
     next_stage = _NEXT_STAGE[cfg.generator]
     g_params, g_state = g_init(cfg, kg)
     d_init, d_apply = models.get_discriminator(cfg.discriminator, 3)
+
+    mesh = None
+    if cfg.mesh_data > 1 or cfg.mesh_sp > 1:
+        from ..parallel.mesh import make_mesh
+        assert cfg.batch_size % cfg.mesh_data == 0, \
+            f"batch {cfg.batch_size} not divisible by mesh_data {cfg.mesh_data}"
+        mesh = make_mesh(cfg.mesh_data * cfg.mesh_sp,
+                         data_parallel=cfg.mesh_data)
 
     # fixed Z_init at scale-0 size with nc_im channels
     # (train_video_baselines.py:41-44)
@@ -100,82 +244,16 @@ def run_training(cfg, seed: int = 0, step_callback=None):
             cfg.fps_lcm)
         cfg.fps, cfg.td, cfg.fps_index = fps, td, fps_index
 
-        # fresh D, warm-started from the previous scale (baselines warm-start
-        # at EVERY scale > 0, train_video_baselines.py:51-54)
-        key, kd = jax.random.split(key)
-        d_params, d_state = d_init(cfg, kd)
-        if scale_idx > 0:
-            ckpt = saver.load_checkpoint(f"netD_{scale_idx - 1}.ckpt")
-            d_params, d_state = ckpt["params"], ckpt["state"]
+        amps_in = list(noise_amps)
 
-        plan = make_baseline_lr_plan(cfg, scale_idx, len(g_params["body"]),
-                                     has_head="head" in g_params,
-                                     has_tail="tail" in g_params)
-        trainable, _ = split_params(g_params, plan)
-        # baselines use plain Adam for G too (train_video_baselines.py:85)
-        from ..optim import clipped_adam
-        opt_g = clipped_adam(lr_tree_for(trainable, plan), cfg.beta1,
-                             grad_clip=float("inf"))
-        opt_d = adam(cfg.lr_d, cfg.beta1)
+        def train_fn(gp, gs, k, split_steps):
+            return _train_baseline_scale(
+                cfg, g_apply, d_apply, d_init, dataset, saver, list(amps_in),
+                z_init, gp, gs, k, step_callback=step_callback,
+                split_steps=split_steps, mesh=mesh)
 
-        g_step = make_g_step(cfg, g_apply, d_apply, opt_g, plan,
-                             vae_phase=False)
-        d_step = make_d_step(cfg, g_apply, d_apply, opt_d)
-        from .steps import make_calibration
-        calib = make_calibration(cfg, g_apply)
-        batch_fn = make_video_batch_fn(cfg, scale_idx)
-        data_scale = dataset.scale_frames(scale_idx)
-        data_zero = dataset.scale_frames(0)
-
-        key, ks = jax.random.split(key)
-        state = ScaleTrainState(g_params, g_state, d_params, d_state,
-                                opt_g.init(trainable), opt_d.init(d_params), ks)
-
-        bar = create_progressbar(iterable=range(cfg.niter),
-                                 desc=f"Training scale [{scale_idx + 1}/"
-                                      f"{cfg.stop_scale + 1}]")
-        t0 = time.time()
-        for iteration in bar:
-            key, kb, kn = jax.random.split(key, 3)
-            real, real_zero, _ = batch_fn(data_scale, data_zero, kb)
-            # baselines draw noise at Z_init's shape, nc_im channels (:124)
-            noise_init = jax.random.normal(
-                kn, (cfg.batch_size,) + z_init.shape[1:])
-
-            if iteration == 0:
-                if scale_idx == 0:
-                    noise_amps.append(1.0)
-                else:
-                    noise_amps.append(0.0)
-                    key, kc = jax.random.split(key)
-                    rmse = calib(state.g_params, state.g_state, real, real_zero,
-                                 _amps_array(noise_amps, cfg.stop_scale), kc)
-                    noise_amps[-1] = cfg.noise_amp_init * float(rmse) / \
-                        cfg.batch_size
-                amps = _amps_array(noise_amps, cfg.stop_scale)
-
-            state, d_metrics = d_step(state, real, noise_init, amps)
-            state, metrics = g_step(state, real, real_zero, noise_init, amps)
-
-            if (iteration + 1) % cfg.print_interval == 0:
-                vals = {k: float(v) for k, v in {**metrics, **d_metrics}.items()}
-                logging.logbook("[Scale {}/Iter {}] {}".format(
-                    scale_idx + 1, iteration + 1,
-                    ", ".join(f"{k}: {v:.5f}" for k, v in sorted(vals.items()))))
-            if step_callback is not None:
-                step_callback(iteration, state, metrics)
-        bar.close()
-        logging.info("scale %d done in %.1fs", scale_idx, time.time() - t0)
-
-        saver.save_json({"noise_amps": noise_amps, "scale_idx": scale_idx},
-                        "intermediate.json")
-        saver.save_checkpoint({"params": state.g_params,
-                               "state": state.g_state},
-                              f"netG_{scale_idx}.ckpt")
-        saver.save_checkpoint({"params": state.d_params,
-                               "state": state.d_state},
-                              f"netD_{scale_idx}.ckpt")
-        g_params, g_state = state.g_params, state.g_state
+        g_params, g_state, noise_amps, key = run_scale_with_retry(
+            train_fn, cfg, g_params, g_state, key)
         cfg.scale_idx += 1
 
     return g_params, g_state, noise_amps, saver

@@ -27,17 +27,21 @@ def _cdtype(cfg):
 
 
 def make_g_step(cfg, g_apply: Callable, d_apply: Callable, opt_g, plan,
-                vae_phase: bool):
+                vae_phase: bool, g_pair: Callable = None):
     """Jitted single G update."""
     core = _g_step_core(cfg, g_apply, d_apply, opt_g, plan, vae_phase,
-                        _cdtype(cfg))
+                        _cdtype(cfg), g_pair=g_pair)
     return functools.partial(jax.jit, donate_argnums=(0,))(core)
 
 
 def _g_step_core(cfg, g_apply: Callable, d_apply: Callable, opt_g, plan,
-                 vae_phase: bool, cd):
+                 vae_phase: bool, cd, g_pair: Callable = None):
     """VAE-phase or GAN-phase generator update (reference: losses.py:59-107 +
-    train_image.py:152-159). Unjitted core, composable into scan chunks."""
+    train_image.py:152-159). Unjitted core, composable into scan chunks.
+
+    g_pair (GAN phase): width-2B recon+fake forward with per-half BN stats —
+    exact vs the two separate forwards (models.get_generator_pair)."""
+    use_pair = g_pair is not None and not vae_phase
 
     def g_step(state: ScaleTrainState, real, real_zero, noise_init, amps):
         key, k_rec, k_fake = jax.random.split(state.key, 3)
@@ -45,6 +49,17 @@ def _g_step_core(cfg, g_apply: Callable, d_apply: Callable, opt_g, plan,
 
         def loss_fn(tr):
             params = merge_params(tr, frozen)
+            if use_pair:
+                (gen, fake, gen_vae, mu, logvar), gs2 = g_pair(
+                    cfg, params, state.g_state, video=real_zero, amps=amps,
+                    noise_init=noise_init, key=k_rec, train=True,
+                    compute_dtype=cd)
+
+                def d_fn(x):
+                    return d_apply(cfg, state.d_params, state.d_state, x, cd)[0]
+
+                total, aux = g_gan_loss_fn(cfg, d_fn, gen, real, fake)
+                return total, (gs2, aux)
             out, gs1 = g_apply(cfg, params, state.g_state, video=real_zero,
                                amps=amps, noise_init=None, key=k_rec,
                                is_random=False, train=True, compute_dtype=cd)
@@ -126,7 +141,8 @@ def _d_step_core(cfg, g_apply: Callable, d_apply: Callable, opt_d, cd):
 
 def make_train_chunk(cfg, g_apply: Callable, d_apply: Callable, opt_g, opt_d,
                      plan, vae_phase: bool, batch_body: Callable,
-                     steps_per_call: int, mesh=None):
+                     steps_per_call: int, mesh=None, jit: bool = True,
+                     g_pair: Callable = None):
     """Fuse `steps_per_call` full training iterations (batch forming + D step
     + G step) into ONE jitted lax.scan program.
 
@@ -150,7 +166,7 @@ def make_train_chunk(cfg, g_apply: Callable, d_apply: Callable, opt_g, opt_d,
                                       plan, cd)
     else:
         g_step = _g_step_core(cfg, g_apply, d_apply, opt_g, plan, vae_phase,
-                              cd)
+                              cd, g_pair=g_pair)
         d_step = _d_step_core(cfg, g_apply, d_apply, opt_d, cd)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -171,7 +187,8 @@ def make_train_chunk(cfg, g_apply: Callable, d_apply: Callable, opt_g, opt_d,
         def _shard(x):
             return x
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    unroll = max(1, min(int(getattr(cfg, "scan_unroll", 1)), steps_per_call))
+
     def chunk(state: ScaleTrainState, data_scale, data_zero, amps):
         def body(carry, _):
             st = carry
@@ -192,11 +209,16 @@ def make_train_chunk(cfg, g_apply: Callable, d_apply: Callable, opt_g, opt_d,
                 metrics.update(d_metrics)
             return st, metrics
 
-        state, metrics = jax.lax.scan(body, state, None, length=steps_per_call)
+        # unroll > 1 turns carry iterations into straight-line code, freeing
+        # XLA from the loop's carry-layout contract (see docs/PERF.md)
+        state, metrics = jax.lax.scan(body, state, None, length=steps_per_call,
+                                      unroll=unroll)
         # last-iteration metrics
         return state, {k: v[-1] for k, v in metrics.items()}
 
-    return chunk
+    if not jit:
+        return chunk
+    return jax.jit(chunk, donate_argnums=(0,))
 
 
 def _fused_dg_step_core(cfg, g_apply: Callable, d_apply: Callable, opt_g,

@@ -110,22 +110,26 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
     # split_steps compiles D and G updates as SEPARATE programs instead —
     # slower dispatch, but the combined chunk at the largest 3D scales can
     # exceed what some TPU compilers handle (each half compiles fine).
+    g_pair = models.get_generator_pair(cfg.generator, ndim) \
+        if getattr(cfg, "paired_g", False) else None
     if split_steps:
         from .steps import make_d_step, make_g_step
-        g_step = make_g_step(cfg, g_apply, d_apply, opt_g, plan, vae_phase)
+        g_step = make_g_step(cfg, g_apply, d_apply, opt_g, plan, vae_phase,
+                             g_pair=g_pair)
         d_step = make_d_step(cfg, g_apply, d_apply, opt_d)
         spc = 1
         chunk = chunk_rem = None
     else:
         spc = max(1, min(cfg.steps_per_call, cfg.niter))
         chunk = make_train_chunk(cfg, g_apply, d_apply, opt_g, opt_d, plan,
-                                 vae_phase, batch_body, spc, mesh=mesh)
+                                 vae_phase, batch_body, spc, mesh=mesh,
+                                 g_pair=g_pair)
         rem = cfg.niter % spc
         chunk_rem = None
         if rem:
             chunk_rem = make_train_chunk(cfg, g_apply, d_apply, opt_g, opt_d,
                                          plan, vae_phase, batch_body, rem,
-                                         mesh=mesh)
+                                         mesh=mesh, g_pair=g_pair)
 
     key, ks = jax.random.split(key)
     state = ScaleTrainState(g_params, g_state, d_params, d_state,
@@ -235,20 +239,22 @@ def _visualize(viz, saver, state, real, real_zero, noise_init, amps,
                      f"fake_vae_var{iteration}.jpg")
 
 
-def _train_scale_with_retry(cfg, g_params, g_state, dataset, saver,
-                            noise_amps, key, ndim, resumed_idx, resume_dir,
-                            step_callback, retries: int = 2):
+def run_scale_with_retry(train_fn, cfg, g_params, g_state, key,
+                         retries: int = 2):
     """Elastic recovery (the reference has none, SURVEY §5): transient
     runtime/transport failures (e.g. a remote-TPU compile stream dropping
-    mid-scale) restart the CURRENT scale from the previous scale's
-    checkpoint instead of killing a multi-hour run. Deliberate aborts
-    (non-finite metrics, assertions, Ctrl-C) are not retried."""
+    mid-scale) restart the CURRENT scale from an in-memory entry snapshot
+    instead of killing a multi-hour run. Deliberate aborts (non-finite
+    metrics, assertions, Ctrl-C) are not retried.
+
+    train_fn(g_params, g_state, key, split_steps) runs one scale; retries
+    pass split_steps=True (the combined D+G chunk may have exceeded the
+    compiler — each half always compiles)."""
     import jax.errors
 
     from ..utils.saver import tree_to_numpy
 
     scale_idx = cfg.scale_idx
-    amps_in = list(noise_amps)
     # host snapshot of the scale's ENTRY state: the failed attempt may have
     # consumed donated device buffers, and checkpoint files may live in a
     # different directory on resumed runs — the snapshot is directory-free
@@ -256,12 +262,7 @@ def _train_scale_with_retry(cfg, g_params, g_state, dataset, saver,
                            "key": key})
     for attempt in range(retries + 1):
         try:
-            # first failure may mean the combined chunk program exceeded the
-            # compiler; retries fall back to separate D/G programs
-            return train_scale(cfg, g_params, g_state, dataset, saver,
-                               list(amps_in), key, ndim, resumed_idx,
-                               resume_dir, step_callback,
-                               split_steps=(attempt > 0))
+            return train_fn(g_params, g_state, key, attempt > 0)
         except jax.errors.JaxRuntimeError as e:
             # only device/transport failures are retryable; every other
             # exception (bugs, deliberate aborts, KeyboardInterrupt) raises
@@ -277,6 +278,20 @@ def _train_scale_with_retry(cfg, g_params, g_state, dataset, saver,
             # reproducible from its seed (the failed attempt's draws are
             # discarded along with its params)
             key = jnp.asarray(entry["key"])
+
+
+def _train_scale_with_retry(cfg, g_params, g_state, dataset, saver,
+                            noise_amps, key, ndim, resumed_idx, resume_dir,
+                            step_callback, retries: int = 2):
+    amps_in = list(noise_amps)
+
+    def train_fn(gp, gs, k, split_steps):
+        return train_scale(cfg, gp, gs, dataset, saver, list(amps_in), k,
+                           ndim, resumed_idx, resume_dir, step_callback,
+                           split_steps=split_steps)
+
+    return run_scale_with_retry(train_fn, cfg, g_params, g_state, key,
+                                retries=retries)
 
 
 def run_training(cfg, mode: str = "image", seed: Optional[int] = None,

@@ -120,3 +120,82 @@ def test_baseline_generators_shapes(name):
                                    cfg.sampling_rates, cfg.org_fps, cfg.fps_lcm,
                                    1.0)
         assert out[0].shape == (1, t1, h1, w1, 3)
+
+
+def test_generator_pair_matches_separate_forwards():
+    """generator_hpvaegan_apply_pair must reproduce the two separate
+    forwards bit-for-bit when refinement noise is off (amps=0): per-half BN
+    statistics + sequential moving-stat folding (recon half first)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hpvaegan_tpu import models
+    from hpvaegan_tpu.config import Config
+    from hpvaegan_tpu.models.networks_2d import (
+        generator_hpvaegan_apply_pair, generator_init_next_stage)
+
+    cfg = Config(nfc=8, latent_dim=8, num_layer=1, enc_blocks=1, img_size=24,
+                 min_size=12, max_size=24, vae_levels=1).finalize()
+    cfg.ar = 1.0
+    g_init, g_apply = models.get_generator("GeneratorHPVAEGAN", 2)
+    p, s = g_init(cfg, jax.random.PRNGKey(0))
+    for i in range(2):
+        p, s = generator_init_next_stage(cfg, p, s, jax.random.PRNGKey(i))
+
+    k = jax.random.PRNGKey(7)
+    video = jax.random.normal(jax.random.PRNGKey(1), (2, 13, 13, 3))
+    noise = jax.random.normal(jax.random.PRNGKey(2), (2, 13, 13, 8))
+    amps = jnp.zeros((cfg.stop_scale + 2,))  # noise off -> exact comparison
+
+    # separate: recon (key k, state s) then fake (state gs1), the unfused
+    # g_step threading
+    out1, gs1 = g_apply(cfg, p, s, video=video, amps=amps, noise_init=None,
+                        key=k, is_random=False, train=True)
+    out2, gs2 = g_apply(cfg, p, gs1, video=None, amps=amps, noise_init=noise,
+                        key=k, is_random=True, train=True)
+
+    (gen, fake, gen_vae, mu, logvar), gsp = generator_hpvaegan_apply_pair(
+        cfg, p, s, video=video, amps=amps, noise_init=noise, key=k, train=True)
+
+    np.testing.assert_allclose(np.asarray(gen), np.asarray(out1[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fake), np.asarray(out2[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gen_vae), np.asarray(out1[1]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(out1[2]),
+                               rtol=1e-6, atol=1e-6)
+    # moving BN stats: pair folding == sequential recon->fake threading
+    flat_a = jax.tree_util.tree_leaves(gs2)
+    flat_b = jax.tree_util.tree_leaves(gsp)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_batchnorm_matches_separate():
+    """batchnorm groups=2 == two separate width-B applications."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hpvaegan_tpu.ops.norm import batchnorm_apply, batchnorm_init
+
+    p, s = batchnorm_init(jax.random.PRNGKey(0), 5)
+    a = jax.random.normal(jax.random.PRNGKey(1), (3, 6, 6, 5))
+    b = jax.random.normal(jax.random.PRNGKey(2), (3, 6, 6, 5)) * 2 + 1
+
+    ya, s1 = batchnorm_apply(p, s, a, train=True)
+    yb, s2 = batchnorm_apply(p, s1, b, train=True)
+    yg, sg = batchnorm_apply(p, s, jnp.concatenate([a, b]), train=True,
+                             groups=2)
+    np.testing.assert_allclose(np.asarray(yg[:3]), np.asarray(ya),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(yg[3:]), np.asarray(yb),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sg["mean"]), np.asarray(s2["mean"]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sg["var"]), np.asarray(s2["var"]),
+                               rtol=1e-6, atol=1e-6)

@@ -91,6 +91,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--mesh-sp', type=int, default=1,
                         help='spatial mesh axis (H sharded when divisible; '
                              'XLA SPMD inserts the conv halo exchanges)')
+    parser.add_argument('--paired-g', action='store_true', default=False,
+                        help='GAN-phase G step: recon+fake as one width-2B '
+                             'forward with per-half BN stats (exact; '
+                             'measured neutral on v5e at batch 1)')
+    parser.add_argument('--scan-unroll', type=int, default=1,
+                        help='unroll factor of the fused iteration scan')
     parser.add_argument('--fused-dg', action='store_true', default=False,
                         help='share one fake forward between D and G losses (~10%% faster; '
                              'deviates from per-step fresh fake noise)')
