@@ -91,6 +91,8 @@ class Config:
     paired_g: bool = False  # GAN-phase G step: recon+fake in ONE width-2B
     #                         forward with per-half BN stats (exact vs the
     #                         two separate forwards; different noise stream)
+    compile_ahead: bool = False  # overlap scale k's training with scale
+    #                              k+1's XLA compile (training/pipeline.py)
     pallas_fused_sampling: bool = False  # TPU: fused Pallas upscale+noise in
     #                          the no-grad sampling path (~1.8x on that op)
     fused_dg: bool = False  # GAN phase: D and G losses share ONE fake forward

@@ -52,9 +52,19 @@ def init_next_stage(cfg, g_params, g_state, key, ndim: int):
 def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
                 noise_amps: List[float], key, ndim: int,
                 resumed_idx: int = -1, resume_dir: str = "",
-                step_callback=None, split_steps: bool = False):
-    """Train one pyramid scale. Returns (g_params, g_state, noise_amps, key)."""
+                step_callback=None, split_steps: bool = False,
+                prebuilt=None, precompiler=None):
+    """Train one pyramid scale. Returns (g_params, g_state, noise_amps, key).
+
+    prebuilt: optional pipeline.ProgramBundle with this scale's programs
+    already AOT-compiled (--compile-ahead); ignored under split_steps.
+    precompiler: when set, the NEXT scale's background compile is kicked off
+    right after THIS scale's first chunk finishes compiling — starting it
+    earlier contends with this scale's own compile in the (serialized)
+    remote-compile helper and stalls the scale."""
     scale_idx = cfg.scale_idx
+    if prebuilt is not None and (split_steps or prebuilt.scale_idx != scale_idx):
+        prebuilt = None
     vae_phase = cfg.vae_levels >= scale_idx + 1
     g_apply = models.get_generator(cfg.generator, ndim)[1]
     d_init, d_apply = models.get_discriminator(cfg.discriminator, ndim)
@@ -74,25 +84,34 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
         except FileNotFoundError:
             logging.warning("no previous netD checkpoint to warm-start from")
 
-    # --- optimizers (train_image.py:42-91)
-    plan = make_lr_plan(cfg, scale_idx, len(g_params["body"]))
+    # --- optimizers (train_image.py:42-91); with a prebuilt bundle the
+    # optimizer OBJECTS must be the ones the compiled chunk closed over
+    if prebuilt is not None:
+        plan, opt_g, opt_d = prebuilt.plan, prebuilt.opt_g, prebuilt.opt_d
+    else:
+        plan = make_lr_plan(cfg, scale_idx, len(g_params["body"]))
+        opt_g = clipped_adam(lr_tree_for(
+            split_params(g_params, plan)[0], plan), cfg.beta1,
+            grad_clip=cfg.grad_clip)
+        opt_d = adam(cfg.lr_d, cfg.beta1)
     trainable, _ = split_params(g_params, plan)
-    lr_tree = lr_tree_for(trainable, plan)
-    opt_g = clipped_adam(lr_tree, cfg.beta1, grad_clip=cfg.grad_clip)
     opt_g_state = opt_g.init(trainable)
-    opt_d = adam(cfg.lr_d, cfg.beta1)
     opt_d_state = opt_d.init(d_params)
 
     # --- jitted programs for this scale
     calib = make_calibration(cfg, g_apply)
     if ndim == 2:
-        batch_body = make_image_batch_body(cfg, scale_idx)
         data_scale = dataset.scale_image(scale_idx)
         data_zero = dataset.scale_image(0)
     else:
-        batch_body = make_video_batch_body(cfg, scale_idx)
         data_scale = dataset.scale_frames(scale_idx)
         data_zero = dataset.scale_frames(0)
+    if prebuilt is not None:
+        batch_body = prebuilt.batch_body
+    elif ndim == 2:
+        batch_body = make_image_batch_body(cfg, scale_idx)
+    else:
+        batch_body = make_video_batch_body(cfg, scale_idx)
     batch_fn = jax.jit(batch_body)
 
     # Optional data-parallel mesh (batch sharded over 'data', params
@@ -119,6 +138,9 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
         d_step = make_d_step(cfg, g_apply, d_apply, opt_d)
         spc = 1
         chunk = chunk_rem = None
+    elif prebuilt is not None:
+        spc, chunk, chunk_rem = prebuilt.spc, prebuilt.chunk, prebuilt.chunk_rem
+        mesh = prebuilt.mesh
     else:
         spc = max(1, min(cfg.steps_per_call, cfg.niter))
         chunk = make_train_chunk(cfg, g_apply, d_apply, opt_g, opt_d, plan,
@@ -175,6 +197,11 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
         else:
             this_chunk = chunk if iteration + spc <= cfg.niter else chunk_rem
             state, metrics = this_chunk(state, data_scale, data_zero, amps)
+        if iteration == 0 and precompiler is not None:
+            # this scale's programs are compiled now — overlap the rest of
+            # its training with the next scale's compile
+            precompiler.start(cfg, state.g_params, state.g_state, dataset,
+                              scale_idx + 1)
         done = min(iteration + spc, cfg.niter)
         bar.update(done - iteration)
 
@@ -282,13 +309,16 @@ def run_scale_with_retry(train_fn, cfg, g_params, g_state, key,
 
 def _train_scale_with_retry(cfg, g_params, g_state, dataset, saver,
                             noise_amps, key, ndim, resumed_idx, resume_dir,
-                            step_callback, retries: int = 2):
+                            step_callback, retries: int = 2, prebuilt=None,
+                            precompiler=None):
     amps_in = list(noise_amps)
 
     def train_fn(gp, gs, k, split_steps):
         return train_scale(cfg, gp, gs, dataset, saver, list(amps_in), k,
                            ndim, resumed_idx, resume_dir, step_callback,
-                           split_steps=split_steps)
+                           split_steps=split_steps,
+                           prebuilt=None if split_steps else prebuilt,
+                           precompiler=precompiler)
 
     return run_scale_with_retry(train_fn, cfg, g_params, g_state, key,
                                 retries=retries)
@@ -351,6 +381,11 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
         # the saved amps list already includes the resumed scale; retrain it
         noise_amps = noise_amps[:cfg.scale_idx]
 
+    pre = None
+    if getattr(cfg, "compile_ahead", False):
+        from .pipeline import ScalePrecompiler
+        pre = ScalePrecompiler(ndim)
+
     while cfg.scale_idx < cfg.stop_scale + 1:
         if cfg.scale_idx > 0 and resumed_idx != cfg.scale_idx:
             key, kn = jax.random.split(key)
@@ -363,10 +398,14 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
             logging.info("scale %d: fps %.2f, time-depth %d, rate %d",
                          cfg.scale_idx, fps, td,
                          cfg.sampling_rates[fps_index])
+        prebuilt = pre.take(cfg.scale_idx) if pre is not None else None
         t0 = time.time()
+        # pre is handed down so the k+1 compile starts only after scale k's
+        # own first chunk has compiled (remote-compile helper is serialized)
         g_params, g_state, noise_amps, key = _train_scale_with_retry(
             cfg, g_params, g_state, dataset, saver, noise_amps, key, ndim,
-            resumed_idx, resume_dir, step_callback)
+            resumed_idx, resume_dir, step_callback, prebuilt=prebuilt,
+            precompiler=pre)
         logging.info("scale %d done in %.1fs (%.2f it/s)", cfg.scale_idx,
                      time.time() - t0, cfg.niter / max(time.time() - t0, 1e-9))
         cfg.scale_idx += 1

@@ -90,3 +90,29 @@ def test_train_video_e2e(tmp_path):
     assert all(a > 0 for a in amps)
     assert os.path.exists(os.path.join(saver.experiment_dir,
                                        f"netG_{cfg.stop_scale}.ckpt"))
+
+
+def test_compile_ahead_matches_normal(tmp_path):
+    """--compile-ahead must be behavior-neutral: same seed, same final
+    noise_amps and params as the normal compile-at-first-call path."""
+    import jax
+    import numpy as np
+
+    from hpvaegan_tpu.config import Config
+    from hpvaegan_tpu.training.trainer import run_training
+
+    def run(ca, sub):
+        cfg = Config(image_path=IMG, checkname=f"ca{sub}", nfc=8, latent_dim=8,
+                     num_layer=1, enc_blocks=1, niter=3, img_size=24,
+                     min_size=12, max_size=24, vae_levels=1,
+                     steps_per_call=2, compile_ahead=ca,
+                     run_dir=str(tmp_path / sub), manualSeed=3).finalize()
+        return run_training(cfg, mode="image", seed=3)
+
+    p1, _, amps1, _ = run(False, "off")
+    p2, _, amps2, _ = run(True, "on")
+    np.testing.assert_allclose(amps1, amps2, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
                              'measured neutral on v5e at batch 1)')
     parser.add_argument('--scan-unroll', type=int, default=1,
                         help='unroll factor of the fused iteration scan')
+    parser.add_argument('--compile-ahead', action='store_true', default=False,
+                        help='overlap each scale\'s training with the next '
+                             'scale\'s XLA compile (big wall-clock win '
+                             'through the remote-compile tunnel)')
     parser.add_argument('--fused-dg', action='store_true', default=False,
                         help='share one fake forward between D and G losses (~10%% faster; '
                              'deviates from per-step fresh fake noise)')
