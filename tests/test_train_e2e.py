@@ -116,3 +116,23 @@ def test_compile_ahead_matches_normal(tmp_path):
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_compile_ahead_video(tmp_path):
+    """compile-ahead on the VIDEO trainer: exercises _snapshot_cfg's
+    fps/time-depth advancement for the next scale."""
+    import numpy as np
+
+    from hpvaegan_tpu.config import Config
+    from hpvaegan_tpu.training.trainer import run_training
+
+    cfg = Config(video_path=VID, checkname="cav", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=18, min_size=9,
+                 max_size=18, vae_levels=1, sampling_rates=[2, 1],
+                 stop_scale_time=-1, max_frames=5, steps_per_call=2,
+                 discriminator="WDiscriminator3D",
+                 compile_ahead=True, run_dir=str(tmp_path),
+                 manualSeed=2).finalize()
+    _, _, amps, _ = run_training(cfg, mode="video", seed=2)
+    assert len(amps) == cfg.stop_scale + 1
+    assert all(np.isfinite(a) for a in amps)
