@@ -168,7 +168,6 @@ def bench_eval_sifid(num_samples: int = 64) -> float:
     from hpvaegan_tpu.config import Config
     from hpvaegan_tpu.data.image import SingleImageDataset
     from hpvaegan_tpu.models.networks_2d import generator_init_next_stage
-    from hpvaegan_tpu.parallel.sampling import sampled_sifid
 
     cfg = Config(image_path="data/imgs/air_balloons.jpg").finalize()
     ds = SingleImageDataset(cfg)
@@ -178,15 +177,18 @@ def bench_eval_sifid(num_samples: int = 64) -> float:
     for i in range(cfg.stop_scale):
         g_params, g_state = generator_init_next_stage(cfg, g_params, g_state,
                                                       jax.random.PRNGKey(i))
+    from hpvaegan_tpu.parallel.sampling import make_sampled_sifid
+
     real01 = np.asarray(ds.image_full_scale[0])
-    # warm (compiles sampler + Inception)
-    sampled_sifid(cfg, g_params, g_state, real01, num_samples,
-                  jax.random.PRNGKey(1))
+    run = make_sampled_sifid(cfg, g_params, g_state, real01)
     t0 = time.perf_counter()
-    vals = sampled_sifid(cfg, g_params, g_state, real01, num_samples,
-                         jax.random.PRNGKey(2))
+    run(num_samples, jax.random.PRNGKey(1))  # cold: traces + compiles
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    vals = run(num_samples, jax.random.PRNGKey(2))
     dt = time.perf_counter() - t0
     assert len(vals) == num_samples
+    log(f"  (cold incl. compile: {cold:.2f} s)")
     return dt
 
 
