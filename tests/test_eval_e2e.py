@@ -126,3 +126,24 @@ def test_eval_image_mesh_sampling(tmp_path):
     assert np.isfinite(sifid)
     samples = np.load(os.path.join(esaver.eval_dir, "random_samples.npy"))
     assert samples.shape[0] == 8
+
+
+def test_eval_video_on_device_fid(tmp_path):
+    """Video --on-device-fid path: device-resident video sampling + SVFID
+    with eval-scale time depth, only per-sample stats leave the device."""
+    cfg = Config(video_path=VID, checkname="evod", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=18, min_size=9,
+                 max_size=18, vae_levels=1, sampling_rates=[2, 1],
+                 stop_scale_time=-1, max_frames=5,
+                 discriminator="WDiscriminator3D", print_interval=100,
+                 run_dir=str(tmp_path), manualSeed=1).finalize()
+    _, _, _, saver = run_training(cfg, mode="video", seed=1)
+    exp_dir = saver.experiment_dir
+
+    ecfg = hydrate_config(exp_dir, dict(niter=1, num_samples=8, max_samples=4,
+                                        batch_size=1, data_rep=1,
+                                        save_path="images", scale_idx=-1,
+                                        mesh_data=8, on_device_fid=True,
+                                        netG=""))
+    svfid, _ = eval_video_experiment(ecfg, exp_dir, seed=0)
+    assert np.isfinite(svfid) and svfid >= 0
