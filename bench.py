@@ -45,7 +45,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(scale_idx: int, compute_dtype: str, steps_per_call: int = None):
+def build(scale_idx: int, compute_dtype: str, steps_per_call: int = None,
+          flat_opt: bool = None):
     from hpvaegan_tpu import models
     from hpvaegan_tpu.config import Config
     from hpvaegan_tpu.data.image import (SingleImageDataset,
@@ -62,6 +63,8 @@ def build(scale_idx: int, compute_dtype: str, steps_per_call: int = None):
     cfg.scale_idx = scale_idx
     if steps_per_call:
         cfg.steps_per_call = steps_per_call
+    if flat_opt is not None:
+        cfg.flat_opt = flat_opt
     dataset = SingleImageDataset(cfg)
 
     g_init, g_apply = models.get_generator(cfg.generator, 2)
@@ -76,8 +79,8 @@ def build(scale_idx: int, compute_dtype: str, steps_per_call: int = None):
     plan = make_lr_plan(cfg, scale_idx, len(g_params["body"]))
     trainable, _ = split_params(g_params, plan)
     opt_g = clipped_adam(lr_tree_for(trainable, plan), cfg.beta1,
-                         grad_clip=cfg.grad_clip)
-    opt_d = adam(cfg.lr_d, cfg.beta1)
+                         grad_clip=cfg.grad_clip, flat=cfg.flat_opt)
+    opt_d = adam(cfg.lr_d, cfg.beta1, flat=cfg.flat_opt)
     state = ScaleTrainState(g_params, g_state, d_params, d_state,
                             opt_g.init(trainable), opt_d.init(d_params),
                             jax.random.PRNGKey(2))
@@ -97,7 +100,8 @@ def build(scale_idx: int, compute_dtype: str, steps_per_call: int = None):
 
 
 def bench_scale(scale_idx: int, iters: int = 20, warmup: int = 2,
-                compute_dtype: str = "float32") -> float:
+                compute_dtype: str = "float32",
+                flat_opt: bool = None) -> float:
     """steps/sec of the fused training chunk (the trainer's real dispatch
     pattern: `steps_per_call` full D+G iterations per XLA launch).
 
@@ -105,8 +109,8 @@ def bench_scale(scale_idx: int, iters: int = 20, warmup: int = 2,
     chunk's loss — on remote-device transports (the axon tunnel here)
     jax.block_until_ready can return before execution finishes, which
     silently inflates throughput by >10x."""
-    cfg, state, chunk, data_scale, data_zero, amps = build(scale_idx,
-                                                           compute_dtype)
+    cfg, state, chunk, data_scale, data_zero, amps = build(
+        scale_idx, compute_dtype, flat_opt=flat_opt)
     for _ in range(warmup):
         state, m = chunk(state, data_scale, data_zero, amps)
     float(np.asarray(m["g_loss"]))  # true completion barrier
@@ -226,8 +230,8 @@ def bench_video_scale(scale_idx: int = 6, iters: int = 16) -> float:
     plan = make_lr_plan(cfg, scale_idx, scale_idx)
     tr, _ = split_params(g_params, plan)
     opt_g = clipped_adam(lr_tree_for(tr, plan), cfg.beta1,
-                         grad_clip=cfg.grad_clip)
-    opt_d = adam(cfg.lr_d, cfg.beta1)
+                         grad_clip=cfg.grad_clip, flat=cfg.flat_opt)
+    opt_d = adam(cfg.lr_d, cfg.beta1, flat=cfg.flat_opt)
     bb = make_video_batch_body(cfg, scale_idx)
     chunk = make_train_chunk(cfg, g_apply, d_apply, opt_g, opt_d, plan,
                              False, bb, cfg.steps_per_call)
@@ -258,6 +262,9 @@ def main():
                    help="also bench 64-sample batched generation")
     p.add_argument("--video", action="store_true",
                    help="also bench the 3D video train step (finest scale)")
+    p.add_argument("--flat-opt", action="store_true", default=None,
+                   help="flat single-buffer optimizer instead of the "
+                   "per-leaf optax chain (A/B; measured slower)")
     args = p.parse_args()
 
     log(f"devices: {jax.devices()}")
@@ -277,7 +284,8 @@ def main():
         vsps = bench_video_scale()
         log(f"video train step (finest 128px scale, td 13): {vsps:.2f} steps/s")
 
-    sps = bench_scale(9, iters=args.iters, compute_dtype=args.compute_dtype)
+    sps = bench_scale(9, iters=args.iters, compute_dtype=args.compute_dtype,
+                      flat_opt=args.flat_opt)
     log(f"finest scale (9, 257px): {sps:.3f} steps/s")
     print(json.dumps({
         "metric": "train_steps_per_sec_finest_scale_256px_image",

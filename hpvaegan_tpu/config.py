@@ -95,6 +95,12 @@ class Config:
     #                              k+1's XLA compile (training/pipeline.py)
     pallas_fused_sampling: bool = False  # TPU: fused Pallas upscale+noise in
     #                          the no-grad sampling path (~1.8x on that op)
+    flat_opt: bool = False  # run clip+Adam on ONE flattened buffer (one
+    #                         segment-sum for all clip norms, one fused
+    #                         update) — numerically identical (optim.flat_adam)
+    #                         but MEASURED SLOWER on v5e (44.6 vs 47.1
+    #                         steps/s): the flatten/unflatten traffic costs
+    #                         more than the per-leaf launches save (PERF.md)
     fused_dg: bool = False  # GAN phase: D and G losses share ONE fake forward
     #                         (same refinement noise for both; XLA CSEs the
     #                         generator forward; ~10% faster). Deviates from

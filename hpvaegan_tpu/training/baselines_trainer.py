@@ -106,8 +106,8 @@ def _train_baseline_scale(cfg, g_apply, d_apply, d_init, dataset, saver,
     # baselines use plain (unclipped) Adam for G too
     # (train_video_baselines.py:85)
     opt_g = clipped_adam(lr_tree_for(trainable, plan), cfg.beta1,
-                         grad_clip=float("inf"))
-    opt_d = adam(cfg.lr_d, cfg.beta1)
+                         grad_clip=float("inf"), flat=cfg.flat_opt)
+    opt_d = adam(cfg.lr_d, cfg.beta1, flat=cfg.flat_opt)
 
     batch_body = make_baseline_batch_body(cfg, scale_idx, z_init.shape[1:])
     batch_fn = jax.jit(batch_body)

@@ -89,8 +89,8 @@ def build_scale_bundle(cfg, g_params_abs, g_state_abs, dataset, ndim: int,
     plan = make_lr_plan(cfg, scale_idx, len(g_params_abs["body"]))
     trainable_abs, _ = split_params(g_params_abs, plan)
     opt_g = clipped_adam(lr_tree_for(trainable_abs, plan), cfg.beta1,
-                         grad_clip=cfg.grad_clip)
-    opt_d = adam(cfg.lr_d, cfg.beta1)
+                         grad_clip=cfg.grad_clip, flat=cfg.flat_opt)
+    opt_d = adam(cfg.lr_d, cfg.beta1, flat=cfg.flat_opt)
 
     if ndim == 2:
         batch_body = make_image_batch_body(cfg, scale_idx)

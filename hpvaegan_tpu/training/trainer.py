@@ -92,8 +92,8 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
         plan = make_lr_plan(cfg, scale_idx, len(g_params["body"]))
         opt_g = clipped_adam(lr_tree_for(
             split_params(g_params, plan)[0], plan), cfg.beta1,
-            grad_clip=cfg.grad_clip)
-        opt_d = adam(cfg.lr_d, cfg.beta1)
+            grad_clip=cfg.grad_clip, flat=cfg.flat_opt)
+        opt_d = adam(cfg.lr_d, cfg.beta1, flat=cfg.flat_opt)
     trainable, _ = split_params(g_params, plan)
     opt_g_state = opt_g.init(trainable)
     opt_d_state = opt_d.init(d_params)

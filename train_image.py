@@ -101,6 +101,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help='overlap each scale\'s training with the next '
                              'scale\'s XLA compile (big wall-clock win '
                              'through the remote-compile tunnel)')
+    parser.add_argument('--flat-opt', action='store_true', default=False,
+                        help='single-buffer fused clip+Adam (numerically '
+                             'identical; measured ~5%% slower on v5e — kept '
+                             'as an A/B lever, see docs/PERF.md)')
     parser.add_argument('--fused-dg', action='store_true', default=False,
                         help='share one fake forward between D and G losses (~10%% faster; '
                              'deviates from per-step fresh fake noise)')
