@@ -46,7 +46,7 @@ def log(*a):
 
 
 def build(scale_idx: int, compute_dtype: str, steps_per_call: int = None,
-          flat_opt: bool = None):
+          flat_opt: bool = None, xla_options: dict = None):
     from hpvaegan_tpu import models
     from hpvaegan_tpu.config import Config
     from hpvaegan_tpu.data.image import (SingleImageDataset,
@@ -65,6 +65,8 @@ def build(scale_idx: int, compute_dtype: str, steps_per_call: int = None,
         cfg.steps_per_call = steps_per_call
     if flat_opt is not None:
         cfg.flat_opt = flat_opt
+    if xla_options:
+        cfg.xla_options = xla_options
     dataset = SingleImageDataset(cfg)
 
     g_init, g_apply = models.get_generator(cfg.generator, 2)
@@ -100,8 +102,8 @@ def build(scale_idx: int, compute_dtype: str, steps_per_call: int = None,
 
 
 def bench_scale(scale_idx: int, iters: int = 20, warmup: int = 2,
-                compute_dtype: str = "float32",
-                flat_opt: bool = None) -> float:
+                compute_dtype: str = "float32", flat_opt: bool = None,
+                xla_options: dict = None) -> float:
     """steps/sec of the fused training chunk (the trainer's real dispatch
     pattern: `steps_per_call` full D+G iterations per XLA launch).
 
@@ -110,7 +112,7 @@ def bench_scale(scale_idx: int, iters: int = 20, warmup: int = 2,
     jax.block_until_ready can return before execution finishes, which
     silently inflates throughput by >10x."""
     cfg, state, chunk, data_scale, data_zero, amps = build(
-        scale_idx, compute_dtype, flat_opt=flat_opt)
+        scale_idx, compute_dtype, flat_opt=flat_opt, xla_options=xla_options)
     for _ in range(warmup):
         state, m = chunk(state, data_scale, data_zero, amps)
     float(np.asarray(m["g_loss"]))  # true completion barrier
@@ -265,6 +267,10 @@ def main():
     p.add_argument("--flat-opt", action="store_true", default=None,
                    help="flat single-buffer optimizer instead of the "
                    "per-leaf optax chain (A/B; measured slower)")
+    p.add_argument("--xla-option", dest="xla_options", action="append",
+                   default=None, metavar="KEY=VALUE",
+                   help="extra XLA compiler option for the train chunk "
+                   "(repeatable)")
     args = p.parse_args()
 
     log(f"devices: {jax.devices()}")
@@ -284,8 +290,10 @@ def main():
         vsps = bench_video_scale()
         log(f"video train step (finest 128px scale, td 13): {vsps:.2f} steps/s")
 
+    xla_opts = dict(s.split("=", 1) for s in args.xla_options) \
+        if args.xla_options else None
     sps = bench_scale(9, iters=args.iters, compute_dtype=args.compute_dtype,
-                      flat_opt=args.flat_opt)
+                      flat_opt=args.flat_opt, xla_options=xla_opts)
     log(f"finest scale (9, 257px): {sps:.3f} steps/s")
     print(json.dumps({
         "metric": "train_steps_per_sec_finest_scale_256px_image",

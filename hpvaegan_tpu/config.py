@@ -91,8 +91,11 @@ class Config:
     paired_g: bool = False  # GAN-phase G step: recon+fake in ONE width-2B
     #                         forward with per-half BN stats (exact vs the
     #                         two separate forwards; different noise stream)
-    compile_ahead: bool = False  # overlap scale k's training with scale
-    #                              k+1's XLA compile (training/pipeline.py)
+    compile_ahead: bool = True  # overlap scale k's training with scale k+1's
+    #                             XLA compile (training/pipeline.py; 2.7x
+    #                             full-run wall clock through the remote
+    #                             tunnel, behavior-identical — measured,
+    #                             docs/PERF.md). --no-compile-ahead disables.
     pallas_fused_sampling: bool = False  # TPU: fused Pallas upscale+noise in
     #                          the no-grad sampling path (~1.8x on that op)
     flat_opt: bool = False  # run clip+Adam on ONE flattened buffer (one
@@ -107,6 +110,10 @@ class Config:
     #                         the reference's fresh-noise-per-step fakes.
     bug_compat: bool = False  # replicate reference bugs (frozen GP alpha,
     #                           severed adversarial G gradient: losses.py:26,94)
+    xla_options: Optional[dict] = None  # extra XLA compiler options for the
+    #                         train chunk (PJRT CompileOptions env overrides;
+    #                         reaches the remote TPU compiler where XLA_FLAGS
+    #                         cannot). CLI: --xla-option key=value (repeat)
     mesh_data: int = 1  # data-parallel mesh axis size (batched sampling/training)
     mesh_sp: int = 1  # spatial mesh axis size (H sharded when divisible; XLA
     #                   SPMD inserts the conv halo exchanges over ICI)

@@ -218,7 +218,11 @@ def make_train_chunk(cfg, g_apply: Callable, d_apply: Callable, opt_g, opt_d,
 
     if not jit:
         return chunk
-    return jax.jit(chunk, donate_argnums=(0,))
+    # optional XLA backend options (cfg.xla_options dict, e.g. scoped-VMEM
+    # size) — forwarded through PJRT CompileOptions, reaching the remote
+    # compile service where XLA_FLAGS env cannot
+    opts = getattr(cfg, "xla_options", None) or None
+    return jax.jit(chunk, donate_argnums=(0,), compiler_options=opts)
 
 
 def _fused_dg_step_core(cfg, g_apply: Callable, d_apply: Callable, opt_g,

@@ -97,10 +97,16 @@ def build_parser() -> argparse.ArgumentParser:
                              'measured neutral on v5e at batch 1)')
     parser.add_argument('--scan-unroll', type=int, default=1,
                         help='unroll factor of the fused iteration scan')
-    parser.add_argument('--compile-ahead', action='store_true', default=False,
+    parser.add_argument('--compile-ahead', action=argparse.BooleanOptionalAction,
+                        default=True,
                         help='overlap each scale\'s training with the next '
-                             'scale\'s XLA compile (big wall-clock win '
-                             'through the remote-compile tunnel)')
+                             'scale\'s XLA compile (2.7x full-run wall clock, '
+                             'behavior-identical; --no-compile-ahead disables)')
+    parser.add_argument('--xla-option', dest='xla_options', action='append',
+                        default=None, metavar='KEY=VALUE',
+                        help='extra XLA compiler option for the train chunk '
+                             '(repeatable), e.g. '
+                             '--xla-option xla_tpu_scoped_vmem_limit_kib=131072')
     parser.add_argument('--flat-opt', action='store_true', default=False,
                         help='single-buffer fused clip+Adam (numerically '
                              'identical; measured ~5%% slower on v5e — kept '
@@ -117,6 +123,8 @@ def build_parser() -> argparse.ArgumentParser:
 def cfg_from_args(args: argparse.Namespace) -> Config:
     cfg = Config()
     for k, v in vars(args).items():
+        if k == "xla_options" and isinstance(v, list):
+            v = dict(s.split("=", 1) for s in v)
         if hasattr(cfg, k):
             setattr(cfg, k, v)
     return cfg
