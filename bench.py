@@ -198,7 +198,8 @@ def bench_eval_sifid(num_samples: int = 64) -> float:
     return dt
 
 
-def bench_video_scale(scale_idx: int = 6, iters: int = 16) -> float:
+def bench_video_scale(scale_idx: int = 6, iters: int = 16,
+                      compute_dtype: str = "float32") -> float:
     """Video (Conv3D) GAN-phase steps/sec at a given scale of the
     128px/13-frame workload (BASELINE config 4 shape)."""
     from hpvaegan_tpu import models
@@ -214,7 +215,7 @@ def bench_video_scale(scale_idx: int = 6, iters: int = 16) -> float:
     from hpvaegan_tpu.utils import pyramid
 
     cfg = Config(video_path="data/vids/synthetic.avi", img_size=128,
-                 min_size=32, max_frames=13,
+                 min_size=32, max_frames=13, compute_dtype=compute_dtype,
                  discriminator="WDiscriminator3D", steps_per_call=8).finalize()
     cfg.scale_idx = scale_idx
     ds = SingleVideoDataset(cfg)
@@ -287,8 +288,9 @@ def main():
         secs = bench_eval_sifid()
         log(f"end-to-end 64 samples + on-device sinFID: {secs:.2f} s")
     if args.video:
-        vsps = bench_video_scale()
-        log(f"video train step (finest 128px scale, td 13): {vsps:.2f} steps/s")
+        vsps = bench_video_scale(compute_dtype=args.compute_dtype)
+        log(f"video train step (finest 128px scale, td 13, "
+            f"{args.compute_dtype}): {vsps:.2f} steps/s")
 
     xla_opts = dict(s.split("=", 1) for s in args.xla_options) \
         if args.xla_options else None
