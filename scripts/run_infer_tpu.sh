@@ -15,6 +15,25 @@ exp_dir=$(realpath "$1")
 plugin=${2:-${PJRT_PLUGIN:-$(python3 -c 'import libtpu, os; print(os.path.join(os.path.dirname(libtpu.__file__), "libtpu.so"))')}}
 repo_dir=$(realpath "$(dirname "$0")/..")
 
+# Remote-TPU (axon) tunnel: libtpu.so needs a local TPU PCI device; when the
+# chip is only reachable through an axon relay (JAX_PLATFORMS=axon), default
+# to the axon PJRT plugin with the same client options the Python backend's
+# registration uses (remote compile on the terminal, loopback pool relay).
+if [ -z "${2:-}" ] && [ -z "${PJRT_PLUGIN:-}" ] && [ -e /opt/axon/libaxon_pjrt.so ] \
+   && [ "${JAX_PLATFORMS:-}" = "axon" ]; then
+    plugin=/opt/axon/libaxon_pjrt.so
+    gen=${PALLAS_AXON_TPU_GEN:-v5e}
+    export AXON_COMPAT_VERSION=${AXON_COMPAT_VERSION:-49}
+    export TPU_SKIP_MDS_QUERY=${TPU_SKIP_MDS_QUERY:-1}
+    export TPU_WORKER_HOSTNAMES=${TPU_WORKER_HOSTNAMES:-localhost}
+    export AXON_POOL_SVC_OVERRIDE=${AXON_POOL_SVC_OVERRIDE:-${PALLAS_AXON_POOL_IPS:-127.0.0.1}}
+    export AXON_LOOPBACK_RELAY=${AXON_LOOPBACK_RELAY:-1}
+    if [ -z "${PJRT_CLIENT_OPTIONS:-}" ]; then
+        sid=$(python3 -c 'import uuid; print(uuid.uuid4())')
+        PJRT_CLIENT_OPTIONS="remote_compile=int:1;local_only=int:0;priority=int:0;topology=str:${gen}:1x1x1;n_slices=int:1;session_id=str:${sid};rank=int:4294967295"
+    fi
+fi
+
 echo "== export =="
 python3 "$repo_dir/export.py" --exp-dir "$exp_dir"
 
