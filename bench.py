@@ -199,7 +199,8 @@ def bench_eval_sifid(num_samples: int = 64) -> float:
 
 
 def bench_video_scale(scale_idx: int = 6, iters: int = 16,
-                      compute_dtype: str = "float32") -> float:
+                      compute_dtype: str = "float32",
+                      fused_dg: bool = False) -> float:
     """Video (Conv3D) GAN-phase steps/sec at a given scale of the
     128px/13-frame workload (BASELINE config 4 shape)."""
     from hpvaegan_tpu import models
@@ -216,6 +217,7 @@ def bench_video_scale(scale_idx: int = 6, iters: int = 16,
 
     cfg = Config(video_path="data/vids/synthetic.avi", img_size=128,
                  min_size=32, max_frames=13, compute_dtype=compute_dtype,
+                 fused_dg=fused_dg,
                  discriminator="WDiscriminator3D", steps_per_call=8).finalize()
     cfg.scale_idx = scale_idx
     ds = SingleVideoDataset(cfg)
