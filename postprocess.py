@@ -1,6 +1,8 @@
 #!/usr/bin/env python3
 """Post-process for native inference (reference: postprocess.py): turn the
-PJRT runner's output .bin into PNGs and compute SIFID."""
+PJRT runner's output .bin into PNGs and compute SIFID. Video experiments
+(the reference's 310 pipeline is image-only; export.py here serves both)
+produce per-sample .npy videos + GIFs and compute SVFID instead."""
 
 import argparse
 import glob
@@ -9,7 +11,7 @@ import os
 import numpy as np
 
 from hpvaegan_tpu.config import Config
-from hpvaegan_tpu.metrics import calculate_SIFID
+from hpvaegan_tpu.metrics import calculate_SIFID, calculate_SVFID
 from hpvaegan_tpu.utils import pyramid
 
 
@@ -30,6 +32,46 @@ def post_process(cfg, exp_dir: str, result_dir: str, save_path: str = 'images'):
             imageio.imwrite(os.path.join(out_dir, f'fake_{i}_{j}.png'),
                             im.astype(np.uint8))
     return out_dir
+
+
+def post_process_video(cfg, exp_dir: str, result_dir: str,
+                       save_path: str = 'videos'):
+    """Runner output .bin (NCTHW, [-1,1]) -> per-sample .npy videos
+    ((T,H,W,C) uint8, the eval artifact contract) + fake GIFs, plus a
+    real-window .npy for SVFID pairing."""
+    from hpvaegan_tpu.data.video import SingleVideoDataset
+    from hpvaegan_tpu.utils.media import make_video
+
+    t, h, w = pyramid.scale_size_3d(
+        cfg.scale_idx, cfg.scale_factor, cfg.stop_scale, cfg.img_size,
+        cfg.stop_scale_time, cfg.sampling_rates, cfg.org_fps, cfg.fps_lcm,
+        cfg.ar)
+    out_dir = os.path.join(exp_dir, 'infer', save_path)
+    real_dir = os.path.join(exp_dir, 'infer', 'real')
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(real_dir, exist_ok=True)
+    bins = sorted(glob.glob(os.path.join(result_dir, '*.bin')))
+    assert bins, f'no runner outputs in {result_dir}'
+    for i, b in enumerate(bins):
+        arr = np.fromfile(b, np.float32).reshape(cfg.batch_size, cfg.nc_im,
+                                                 t, h, w)
+        vids = (((arr.transpose(0, 2, 3, 4, 1) + 1) / 2).clip(0, 1)
+                * 255).astype(np.uint8)  # (N, T, H, W, C)
+        for j, v in enumerate(vids):
+            np.save(os.path.join(out_dir, f'fake_{i}_{j}.npy'), v)
+            make_video(v, 4, os.path.join(out_dir, f'fake_{i}_{j}.gif'))
+
+    cfg.fps, cfg.td, cfg.fps_index = pyramid.get_fps_td_by_index(
+        cfg.scale_idx, cfg.stop_scale_time, cfg.sampling_rates, cfg.org_fps,
+        cfg.fps_lcm)
+    frames = np.asarray(SingleVideoDataset(cfg).scale_frames(cfg.scale_idx))[0]
+    # the real window the fake corresponds to: frames[0 : fps_lcm+1 : every]
+    # at this scale's sampling rate (data/video.py window rule), length td
+    every = cfg.sampling_rates[cfg.fps_index]
+    window = frames[:cfg.fps_lcm + 1:every]
+    np.save(os.path.join(real_dir, 'real_full_scale.npy'),
+            (window * 255).astype(np.uint8))
+    return out_dir, real_dir
 
 
 def main():
@@ -53,10 +95,15 @@ def main():
 
     result_dir = args.result_dir or os.path.join(args.exp_dir, 'infer',
                                                  'result')
-    fake_dir = post_process(cfg, args.exp_dir, result_dir)
-    real_dir = os.path.dirname(os.path.abspath(cfg.image_path))
-    sifid = calculate_SIFID(real_dir, fake_dir)
-    print(f'SIFID: {sifid}')
+    if getattr(cfg, 'video_path', ''):
+        fake_dir, real_dir = post_process_video(cfg, args.exp_dir, result_dir)
+        svfid = calculate_SVFID(real_dir, fake_dir)
+        print(f'SVFID: {svfid}')
+    else:
+        fake_dir = post_process(cfg, args.exp_dir, result_dir)
+        real_dir = os.path.dirname(os.path.abspath(cfg.image_path))
+        sifid = calculate_SIFID(real_dir, fake_dir)
+        print(f'SIFID: {sifid}')
 
 
 if __name__ == '__main__':

@@ -14,7 +14,28 @@ from hpvaegan_tpu.training.trainer import run_training
 
 IMG = os.path.join(os.path.dirname(__file__), "..", "data", "imgs",
                    "air_balloons.jpg")
+VID = os.path.join(os.path.dirname(__file__), "..", "data", "vids",
+                   "synthetic.avi")
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _run_exported_module(infer: str) -> None:
+    """Execute the serialized StableHLO on the preprocess bins and write the
+    runner-format output .bin (what the C++ PJRT runner does on hardware)."""
+    from hpvaegan_tpu.export.stablehlo import load_and_run_serialized
+    spec = open(os.path.join(infer, "io_spec.txt")).read().splitlines()
+    z_dims = tuple(int(d) for d in spec[0].split()[1].split(","))
+    noise = np.fromfile(os.path.join(infer, "noise_init/noise_init.bin"),
+                        np.float32).reshape(z_dims)
+    amps = np.fromfile(os.path.join(infer, "noise_amps/noise_amps.bin"),
+                       np.float32)
+    seed = np.fromfile(os.path.join(infer, "seed/seed.bin"), np.int32)[0]
+    sh = [f for f in os.listdir(infer) if f.endswith(".stablehlo")][0]
+    result = load_and_run_serialized(os.path.join(infer, sh), noise, amps,
+                                     seed)
+    result_dir = os.path.join(infer, "result")
+    os.makedirs(result_dir, exist_ok=True)
+    np.asarray(result).tofile(os.path.join(result_dir, "output_0.bin"))
 
 
 def test_infer_pipeline(tmp_path):
@@ -39,20 +60,7 @@ def test_infer_pipeline(tmp_path):
     assert mlirs
 
     # execute the serialized module on the bins (what the C++ runner does)
-    from hpvaegan_tpu.export.stablehlo import load_and_run_serialized
-    spec = open(os.path.join(infer, "io_spec.txt")).read().splitlines()
-    z_dims = tuple(int(d) for d in spec[0].split()[1].split(","))
-    noise = np.fromfile(os.path.join(infer, "noise_init/noise_init.bin"),
-                        np.float32).reshape(z_dims)
-    amps = np.fromfile(os.path.join(infer, "noise_amps/noise_amps.bin"),
-                       np.float32)
-    seed = np.fromfile(os.path.join(infer, "seed/seed.bin"), np.int32)[0]
-    sh = mlirs[0].replace(".mlir", ".stablehlo")
-    result = load_and_run_serialized(os.path.join(infer, sh), noise, amps,
-                                     seed)
-    result_dir = os.path.join(infer, "result")
-    os.makedirs(result_dir, exist_ok=True)
-    np.asarray(result).tofile(os.path.join(result_dir, "output_0.bin"))
+    _run_exported_module(infer)
 
     # postprocess -> PNGs + SIFID
     out = subprocess.run([sys.executable, os.path.join(REPO, "postprocess.py"),
@@ -61,3 +69,38 @@ def test_infer_pipeline(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "SIFID:" in out.stdout
     assert os.path.exists(os.path.join(infer, "images", "fake_0_0.png"))
+
+
+def test_infer_pipeline_video(tmp_path):
+    """Video serving chain: 3D export (NCTHW bins) -> execute -> postprocess
+    .npy videos + GIF + SVFID (the reference's 310 pipeline is image-only;
+    its eval_video resume path is stubbed — eval_video.py:170)."""
+    cfg = Config(video_path=VID, checkname="infv", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=18, min_size=9,
+                 max_size=18, vae_levels=1, sampling_rates=[2, 1], max_frames=5,
+                 discriminator="WDiscriminator3D", print_interval=100,
+                 run_dir=str(tmp_path), manualSeed=1).finalize()
+    _, _, _, saver = run_training(cfg, mode="video", seed=1)
+    exp_dir = saver.experiment_dir
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, os.path.join(REPO, "export.py"),
+                          "--exp-dir", exp_dir], capture_output=True,
+                         text=True, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    infer = os.path.join(exp_dir, "infer")
+
+    _run_exported_module(infer)
+
+    out = subprocess.run([sys.executable, os.path.join(REPO, "postprocess.py"),
+                          "--exp-dir", exp_dir], capture_output=True,
+                         text=True, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "SVFID:" in out.stdout
+    assert os.path.exists(os.path.join(infer, "videos", "fake_0_0.npy"))
+    assert os.path.exists(os.path.join(infer, "videos", "fake_0_0.gif"))
+    assert os.path.exists(os.path.join(infer, "real", "real_full_scale.npy"))
+    # artifact contract: (T, H, W, C) uint8 at the saved scale's time depth
+    fake = np.load(os.path.join(infer, "videos", "fake_0_0.npy"))
+    real = np.load(os.path.join(infer, "real", "real_full_scale.npy"))
+    assert fake.shape == real.shape and fake.dtype == np.uint8
