@@ -294,6 +294,9 @@ def main():
         log(f"video train step (finest 128px scale, td 13, "
             f"{args.compute_dtype}): {vsps:.2f} steps/s")
 
+    bad = [s for s in args.xla_options or [] if "=" not in s]
+    if bad:
+        p.error(f"--xla-option expects KEY=VALUE, got: {', '.join(bad)}")
     xla_opts = dict(s.split("=", 1) for s in args.xla_options) \
         if args.xla_options else None
     sps = bench_scale(9, iters=args.iters, compute_dtype=args.compute_dtype,

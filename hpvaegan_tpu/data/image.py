@@ -36,16 +36,12 @@ def load_image01(path: str) -> np.ndarray:
 
 class SingleImageDataset:
     def __init__(self, cfg):
-        import imageio
-
-        if not os.path.exists(cfg.image_path):
-            raise FileNotFoundError(f"invalid path: {cfg.image_path}")
-        img = np.asarray(imageio.imread(cfg.image_path))[:, :, :3]  # HWC uint8
-        self.org_size = [img.shape[0], img.shape[1]]
-        cfg.ar = img.shape[0] / img.shape[1]  # H/W (reference: image.py:29)
+        img01 = load_image01(cfg.image_path)  # (H, W, 3) float in [0,1]
+        self.org_size = [img01.shape[0], img01.shape[1]]
+        cfg.ar = img01.shape[0] / img01.shape[1]  # H/W (reference: image.py:29)
         self.cfg = cfg
         # full-res float image in [0,1], device-resident, (1, H, W, C)
-        self.image_full_scale = jnp.asarray(img, jnp.float32)[None] / 255.0
+        self.image_full_scale = jnp.asarray(img01)[None]
         self._cache = {}
 
     def scale_size(self, scale_idx: int) -> Tuple[int, int]:

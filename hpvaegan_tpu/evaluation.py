@@ -196,7 +196,12 @@ def eval_video_experiment(cfg, exp_dir: str, seed: int = 0):
     if getattr(cfg, "on_device_fid", False):
         from .parallel.sampling import sampled_svfid
 
-        vals = sampled_svfid(cfg, g_params, g_state, frames,
+        # the real WINDOW at this scale's sampling rate (data/video.py
+        # window rule: frames[0 : fps_lcm+1 : every], length td) — NOT all
+        # full-rate frames, which sampled_svfid would temporally resize
+        # (blending adjacent frames the model never saw)
+        window = frames[:cfg.fps_lcm + 1:cfg.sampling_rates[fps_index]]
+        vals = sampled_svfid(cfg, g_params, g_state, window,
                              cfg.niter * cfg.num_samples,
                              jax.random.PRNGKey(seed), mesh=mesh,
                              z_tail=eval_z_tail(cfg, 3))
@@ -211,9 +216,12 @@ def eval_video_experiment(cfg, exp_dir: str, seed: int = 0):
             samples.transpose(0, 4, 1, 2, 3))
     generate_gifs(cfg, saver)
 
-    # SVFID over video arrays (the reference image-file path was broken)
+    # SVFID over video arrays (the reference image-file path was broken);
+    # real side is the strided window at this scale's rate, matching what
+    # the model was trained on (not the first td full-rate frames)
     from .metrics.fid import svfid_arrays
-    reals = ((frames[None] if frames.ndim == 4 else frames) + 0.0)
+    window = frames[:cfg.fps_lcm + 1:cfg.sampling_rates[fps_index]]
+    reals = window[None] + 0.0
     fakes = (samples + 1) / 2
     t = min(reals.shape[1], fakes.shape[1])
     h = min(reals.shape[2], fakes.shape[2])

@@ -103,7 +103,12 @@ def activation(x: jnp.ndarray, act: str,
                act_params: dict | None = None) -> jnp.ndarray:
     """Activations (reference: networks_2d.py:16-24; MindSpore LeakyReLU
     default alpha=0.2). 'prelu' is LEARNABLE when act_params is provided
-    (nn.PReLU), else a fixed 0.25-slope stand-in."""
+    (nn.PReLU), else a fixed 0.25-slope stand-in.
+
+    Like the reference registry, relu/elu/selu/prelu are API surface only:
+    every network call site hardcodes act='lrelu' or act=None (reference
+    networks_2d.py:45,57,80-152), so no model construction path reaches
+    them. They exist for parity and for custom blocks built on this op."""
     if act == "relu":
         return jax.nn.relu(x)
     if act == "lrelu":

@@ -133,6 +133,19 @@ def _precompile(bundle: ProgramBundle, g_params_abs, g_state_abs, dataset,
     key_abs = jax.ShapeDtypeStruct((2,), jnp.uint32)
     state_abs = ScaleTrainState(g_params_abs, g_state_abs, d_params_abs,
                                 d_state_abs, opt_g_abs, opt_d_abs, key_abs)
+    if bundle.mesh is not None:
+        # mesh runs call the chunk with the state device_put to the
+        # replicated NamedSharding (trainer.py:159-161); the jit cache key
+        # includes resolved input shardings, so the AOT lowering must carry
+        # the same sharding or the first real call re-compiles (measured:
+        # plain ShapeDtypeStructs lower as GSPMD-replicated, which does NOT
+        # match). Data args stay unannotated — they arrive as uncommitted
+        # jit outputs (UnspecifiedValue either way).
+        from ..parallel.mesh import replicate_sharding
+        repl = replicate_sharding(bundle.mesh)
+        state_abs = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=repl),
+            state_abs)
 
     if ndim == 2:
         data_scale = _sds(dataset.scale_image(scale_idx))
@@ -197,11 +210,26 @@ class ScalePrecompiler:
         self._thread = threading.Thread(target=work, daemon=True)
         self._thread.start()
 
+    # Largest observed remote compile is ~9 min (docs/PERF.md); a hung
+    # compile RPC past this bound must not deadlock the training run — the
+    # retry machinery in run_scale_with_retry can only fire if take()
+    # returns (the daemon thread is abandoned; its eventual result is
+    # discarded and the scale compiles on demand).
+    JOIN_TIMEOUT_S = 1800.0
+
     def take(self, scale_idx: int) -> Optional[ProgramBundle]:
-        """Blocking: returns the prebuilt bundle for `scale_idx` or None."""
+        """Blocking (bounded): returns the prebuilt bundle for `scale_idx`
+        or None (compile failed, mismatched, or timed out)."""
         if self._thread is None:
             return None
-        self._thread.join()
+        self._thread.join(self.JOIN_TIMEOUT_S)
+        if self._thread.is_alive():
+            logging.warning(
+                "compile-ahead: scale %d background compile still running "
+                "after %.0fs — abandoning it, compiling on demand",
+                scale_idx, self.JOIN_TIMEOUT_S)
+            self._thread = None
+            return None
         self._thread = None
         if self._ok and self._bundle is not None \
                 and self._bundle.scale_idx == scale_idx:

@@ -124,6 +124,10 @@ def cfg_from_args(args: argparse.Namespace) -> Config:
     cfg = Config()
     for k, v in vars(args).items():
         if k == "xla_options" and isinstance(v, list):
+            bad = [s for s in v if "=" not in s]
+            if bad:
+                raise SystemExit(
+                    f"--xla-option expects KEY=VALUE, got: {', '.join(bad)}")
             v = dict(s.split("=", 1) for s in v)
         if hasattr(cfg, k):
             setattr(cfg, k, v)
