@@ -143,6 +143,41 @@ def test_data_parallel_training(tmp_path):
     assert all(np.isfinite(a) for a in amps)
 
 
+def test_compile_ahead_mesh_cache_hit(tmp_path, caplog):
+    """Compile-ahead must actually pre-populate the jit cache on MESH runs:
+    each scale's chunk compiles exactly once (foreground for scale 0,
+    background thread for later scales). Regression: AOT-lowering with
+    sharding-less ShapeDtypeStructs keyed the cache as GSPMD-replicated,
+    missing the NamedSharding-replicated real state -> a silent extra
+    foreground compile per scale."""
+    import logging
+    import os
+
+    from hpvaegan_tpu.training.trainer import run_training
+
+    img = os.path.join(os.path.dirname(__file__), "..", "data", "imgs",
+                       "air_balloons.jpg")
+    cfg = Config(image_path=img, checkname="cam", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=4, img_size=24, min_size=12,
+                 max_size=24, vae_levels=1, batch_size=2, mesh_data=2,
+                 steps_per_call=2, run_dir=str(tmp_path),
+                 manualSeed=1).finalize()
+    assert cfg.compile_ahead
+    jax.config.update("jax_log_compiles", True)
+    try:
+        with caplog.at_level(logging.WARNING,
+                             logger="jax._src.interpreters.pxla"):
+            run_training(cfg, mode="image", seed=1)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+    chunk_compiles = [r for r in caplog.records
+                      if "Compiling jit(chunk)" in r.getMessage()]
+    n_scales = cfg.stop_scale + 1
+    assert len(chunk_compiles) == n_scales, (
+        f"expected one chunk compile per scale ({n_scales}), got "
+        f"{len(chunk_compiles)} — compile-ahead missed the jit cache")
+
+
 def test_spatial_sharded_training(tmp_path):
     """Trainer-level sp>1: one tiny run on a ('data':2, 'sp':4) mesh — the
     formed batch is H-sharded over 'sp' at scales where H divides 4 (XLA
