@@ -13,9 +13,13 @@ from hpvaegan_tpu.config import Config
 from hpvaegan_tpu.utils import pyramid
 
 
-def pre_process(cfg, exp_dir: str, seed: int = 0):
+def pre_process(cfg, exp_dir: str, seed: int = 0, num_samples: int = 1):
     """Write infer/{noise_init,noise_amps,seed}/*.bin
-    (reference preprocess.py:25-43; bins are NCHW float32, byte-compatible)."""
+    (reference preprocess.py:25-43; bins are NCHW float32, byte-compatible).
+
+    num_samples > 1 writes one noise bin per sample — the runner executes
+    once per input0 file and averages latency over them (reference
+    main.cc:106-143 loop), and postprocess turns each into artifacts."""
     infer_dir = os.path.join(exp_dir, "infer")
     os.makedirs(infer_dir, exist_ok=True)
     with open(os.path.join(exp_dir, "intermediate.json")) as f:
@@ -37,11 +41,24 @@ def pre_process(cfg, exp_dir: str, seed: int = 0):
         shape = (cfg.batch_size, cfg.latent_dim, td0, h0, w0)
     else:
         shape = (cfg.batch_size, cfg.latent_dim, h0, w0)
-    noise_init = rng.standard_normal(shape).astype(np.float32)
-
     for sub in ("noise_init", "noise_amps", "seed"):
         os.makedirs(os.path.join(infer_dir, sub), exist_ok=True)
-    noise_init.tofile(os.path.join(infer_dir, "noise_init", "noise_init.bin"))
+    # stale bins from a previous sample count would feed the runner extra
+    # inputs (it executes every file in the dir) and leak old outputs into
+    # postprocess
+    for sub in ("noise_init", "result"):
+        d = os.path.join(infer_dir, sub)
+        if os.path.isdir(d):
+            for old in os.listdir(d):
+                if old.endswith(".bin"):
+                    os.remove(os.path.join(d, old))
+    noise_init = None
+    for i in range(max(1, num_samples)):
+        draw = rng.standard_normal(shape).astype(np.float32)
+        noise_init = draw if noise_init is None else noise_init
+        name = "noise_init.bin" if num_samples <= 1 \
+            else f"noise_init_{i:03d}.bin"
+        draw.tofile(os.path.join(infer_dir, "noise_init", name))
     amps.tofile(os.path.join(infer_dir, "noise_amps", "noise_amps.bin"))
     np.asarray(seed, np.int32).tofile(os.path.join(infer_dir, "seed",
                                                    "seed.bin"))
@@ -56,12 +73,16 @@ def main():
     parser.add_argument('--scale-idx', type=int, default=-1,
                         help='current scale idx (=len of body)')
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--num-samples', type=int, default=1,
+                        help='noise bins to write (runner executes one '
+                        'inference per bin and averages latency)')
     args = parser.parse_args()
 
     cfg = Config.from_args_txt(os.path.join(args.exp_dir, 'args.txt'))
     cfg.batch_size = 1
     cfg.scale_idx = args.scale_idx
-    pre_process(cfg, args.exp_dir, seed=args.seed)
+    pre_process(cfg, args.exp_dir, seed=args.seed,
+                num_samples=args.num_samples)
     print(f'wrote {os.path.join(args.exp_dir, "infer")}')
 
 
