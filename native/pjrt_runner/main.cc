@@ -392,6 +392,30 @@ int main(int argc, char** argv) {
     th.dst = nullptr;  // size query
     Check(api, api->PJRT_Buffer_ToHostBuffer(&th), "d2h size");
     std::vector<char> host(th.dst_size);
+    // The output .bin contract is DENSE ROW-MAJOR (postprocess.py reshapes
+    // NCHW/NCTHW). With host_layout null the plugin copies in the DEVICE
+    // layout — on TPU that holds images H-minor (last two logical axes
+    // transposed), which silently garbles every row-major consumer. Spell
+    // out dense row-major byte strides explicitly.
+    PJRT_Buffer_Dimensions_Args bd;
+    memset(&bd, 0, sizeof(bd));
+    bd.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+    bd.buffer = out;
+    Check(api, api->PJRT_Buffer_Dimensions(&bd), "output dims");
+    // Row-major == last logical dim most minor: minor_to_major
+    // {n-1, ..., 0}, no tiles. (Tiled, not Strides: PJRT plugins follow
+    // jaxlib's ToLiteral path, which only passes Tiled layouts.)
+    std::vector<int64_t> minor_to_major(bd.num_dims);
+    for (size_t i = 0; i < bd.num_dims; ++i)
+      minor_to_major[i] = static_cast<int64_t>(bd.num_dims - 1 - i);
+    PJRT_Buffer_MemoryLayout layout;
+    memset(&layout, 0, sizeof(layout));
+    layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+    layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+    layout.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+    layout.tiled.minor_to_major = minor_to_major.data();
+    layout.tiled.minor_to_major_size = minor_to_major.size();
+    th.host_layout = &layout;
     th.dst = host.data();
     Check(api, api->PJRT_Buffer_ToHostBuffer(&th), "d2h");
     AwaitEvent(api, th.event, "d2h done");
