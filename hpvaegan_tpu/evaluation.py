@@ -20,7 +20,6 @@ import numpy as np
 
 from . import models
 from .config import Config
-from .training.steps import make_sampler
 from .utils import pyramid
 from .utils.saver import DataSaver, load_pytree
 
@@ -96,40 +95,30 @@ def eval_z_tail(cfg, ndim: int):
 
 
 def generate_samples(cfg, g_params, g_state, ndim: int, seed: int = 0,
-                     train_mode: bool = False, mesh=None) -> np.ndarray:
+                     train_mode: bool = True, mesh=None) -> np.ndarray:
     """niter batches of num_samples random samples; returns channels-last
     (N, ..., C) in [-1, 1].
 
-    With a mesh, generation routes through parallel.sampling.sharded_sampler
-    (noise formed in-jit, batch sharded over 'data'). Either way samples
-    stay device-resident across iterations — ONE host transfer at the end,
-    not the per-iteration d2h the reference's sample loop implies
-    (eval_image.py:54-61)."""
+    Routes through parallel.sampling.sharded_sampler (noise formed in-jit,
+    batch sharded over 'data' when a mesh is given, trivially on one device
+    otherwise). Samples stay device-resident across iterations — ONE host
+    transfer at the end, not the per-iteration d2h the reference's sample
+    loop implies (eval_image.py:54-61). train_mode=True (default) samples
+    with per-sample batch-statistics BN, matching the reference eval's
+    never-set_train(False) cells — see sharded_sampler's docstring."""
+    from .parallel.mesh import make_mesh
+    from .parallel.sampling import sharded_sampler
+
     z_tail = eval_z_tail(cfg, ndim)
     key = jax.random.PRNGKey(seed)
-    if mesh is not None:
-        from .parallel.sampling import sharded_sampler
-        sample = sharded_sampler(cfg, g_params, g_state, ndim=ndim, mesh=mesh,
-                                 train=train_mode, z_tail=z_tail)
-        outs = []
-        for _ in range(cfg.niter):
-            key, ks = jax.random.split(key)
-            outs.append(sample(cfg.num_samples, ks, device=True))
-        return np.asarray(jnp.concatenate(outs, axis=0))
-
-    g_apply = models.get_generator(cfg.generator, ndim)[1]
-    sampler = make_sampler(cfg, g_apply, train=train_mode)
-    z_shape = (cfg.num_samples,) + z_tail
-    amps = np.zeros((cfg.stop_scale + 2,), np.float32)
-    amps[:len(cfg.Noise_Amps)] = cfg.Noise_Amps
-    amps = jnp.asarray(amps)
-
+    if mesh is None:
+        mesh = make_mesh(1)
+    sample = sharded_sampler(cfg, g_params, g_state, ndim=ndim, mesh=mesh,
+                             train=train_mode, z_tail=z_tail)
     outs = []
-    for it in range(cfg.niter):
-        key, kn, ks = jax.random.split(key, 3)
-        noise = jax.random.normal(kn, z_shape)
-        fake, _ = sampler(g_params, g_state, noise, amps, ks)
-        outs.append(fake)  # device-resident; single d2h below
+    for _ in range(cfg.niter):
+        key, ks = jax.random.split(key)
+        outs.append(sample(cfg.num_samples, ks, device=True))
     return np.asarray(jnp.concatenate(outs, axis=0))
 
 

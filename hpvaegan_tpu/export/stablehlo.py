@@ -42,8 +42,13 @@ def make_serving_fn(cfg, g_params, g_state, ndim: int = 2):
             z = jnp.transpose(noise_init, (0, 2, 3, 1))  # NCHW -> NHWC
         else:
             z = jnp.transpose(noise_init, (0, 2, 3, 4, 1))  # NCTHW -> NTHWC
+        # train=True: batch-statistics BN (the exported batch is 1, so the
+        # stats are per-sample) — parity with the reference's export, whose
+        # cells are serialized in the training phase (export.py:80 never
+        # calls set_train(False)); moving-stat eval mode visibly washes out
+        # sample content (see parallel/sampling.sharded_sampler docstring)
         out, _ = g_apply(cfg, g_params, g_state, video=None, amps=noise_amps,
-                         noise_init=z, key=key, is_random=True, train=False)
+                         noise_init=z, key=key, is_random=True, train=True)
         x = out[0]
         if ndim == 2:
             return jnp.transpose(x, (0, 3, 1, 2))

@@ -18,12 +18,22 @@ from .mesh import batch_sharding, make_mesh, replicate_sharding
 
 
 def sharded_sampler(cfg, g_params, g_state, ndim: int = 2, mesh=None,
-                    train: bool = False, z_tail=None):
+                    train: bool = True, z_tail=None):
     """Returns sample(num_samples, key) -> (N, ..., C) host array in [-1,1].
 
     num_samples must be a multiple of the mesh's data-axis size; the noise
     batch is sharded over 'data', params are replicated, and XLA runs the
     fully-parallel forward with zero collectives (embarrassingly parallel).
+
+    train=True (default) runs BatchNorm on BATCH STATISTICS, per sample
+    (vmapped batch-1 forwards) — exact parity with the reference, whose
+    eval never calls set_train(False) (MindSpore cells default to the
+    training phase) and generates one sample per G call
+    (eval_image.py:56-59). Eval-mode moving stats (train=False) wash out
+    sample content badly on short runs — the moving averages lag the
+    per-scale activation statistics this one-sample-overfit model family
+    depends on (SinGAN-family models are conventionally sampled in train
+    mode).
 
     z_tail overrides the per-sample noise shape (e.g. the eval CLI's
     eval-scale time depth, reference eval_video.py:36-39, or the baselines'
@@ -59,6 +69,16 @@ def sharded_sampler(cfg, g_params, g_state, ndim: int = 2, mesh=None,
         noise = jax.random.normal(kn, (batch,) + z_tail)
         noise = jax.lax.with_sharding_constraint(
             noise, batch_sharding(mesh, noise.ndim))
+        if train:
+            # per-sample batch-1 forwards (vmapped): BN statistics are per
+            # sample, matching the reference's one-sample-per-call loop
+            def one(z, k):
+                out, _ = g_apply(cfg, g_params, g_state, video=None,
+                                 amps=amps_dev, noise_init=z[None], key=k,
+                                 is_random=True, train=True)
+                return out[0][0]
+
+            return jax.vmap(one)(noise, jax.random.split(kf, batch))
         out, _ = g_apply(cfg, g_params, g_state, video=None, amps=amps_dev,
                          noise_init=noise, key=kf, is_random=True,
                          train=train)
