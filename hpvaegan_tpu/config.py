@@ -91,6 +91,10 @@ class Config:
     paired_g: bool = False  # GAN-phase G step: recon+fake in ONE width-2B
     #                         forward with per-half BN stats (exact vs the
     #                         two separate forwards; different noise stream)
+    split_step: bool = False  # compile D/G updates as separate programs from
+    #                           the start (what the compile-failure retry
+    #                           fallback does; skips the doomed combined-chunk
+    #                           compile at the largest 3D scales)
     compile_ahead: bool = True  # overlap scale k's training with scale k+1's
     #                             XLA compile (training/pipeline.py; 2.7x
     #                             full-run wall clock through the remote

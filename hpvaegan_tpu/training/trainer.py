@@ -314,6 +314,7 @@ def _train_scale_with_retry(cfg, g_params, g_state, dataset, saver,
     amps_in = list(noise_amps)
 
     def train_fn(gp, gs, k, split_steps):
+        split_steps = split_steps or getattr(cfg, "split_step", False)
         return train_scale(cfg, gp, gs, dataset, saver, list(amps_in), k,
                            ndim, resumed_idx, resume_dir, step_callback,
                            split_steps=split_steps,
@@ -382,7 +383,10 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
         noise_amps = noise_amps[:cfg.scale_idx]
 
     pre = None
-    if getattr(cfg, "compile_ahead", False):
+    if getattr(cfg, "compile_ahead", False) \
+            and not getattr(cfg, "split_step", False):
+        # (split mode discards combined-chunk bundles, so background
+        # compiles of them would only clog the serialized compile channel)
         from .pipeline import ScalePrecompiler
         pre = ScalePrecompiler(ndim)
 

@@ -143,6 +143,48 @@ def test_data_parallel_training(tmp_path):
     assert all(np.isfinite(a) for a in amps)
 
 
+def test_sampler_per_sample_bn_parity():
+    """sharded_sampler(train=True) must equal N independent batch-1
+    forwards: BN statistics are PER SAMPLE (the reference's
+    one-sample-per-G-call eval loop, eval_image.py:56-59), not pooled over
+    the generated batch. Pools would couple samples through their BN stats."""
+    from hpvaegan_tpu import models
+    from hpvaegan_tpu.models.networks_2d import generator_init_next_stage
+    from hpvaegan_tpu.parallel.sampling import sharded_sampler
+    from hpvaegan_tpu.utils.pyramid import scale_size_2d
+
+    cfg = Config(nfc=8, latent_dim=8, num_layer=1, enc_blocks=1, img_size=24,
+                 min_size=12, max_size=24, vae_levels=1).finalize()
+    cfg.ar = 1.0
+    cfg.Noise_Amps = [1.0] + [0.1] * cfg.stop_scale
+    g_init, g_apply = models.get_generator("GeneratorHPVAEGAN", 2)
+    g_params, g_state = g_init(cfg, jax.random.PRNGKey(0))
+    for i in range(cfg.stop_scale):
+        g_params, g_state = generator_init_next_stage(cfg, g_params, g_state,
+                                                      jax.random.PRNGKey(i))
+    mesh = make_mesh(1)
+    sample = sharded_sampler(cfg, g_params, g_state, ndim=2, mesh=mesh)
+    batch = 4
+    key = jax.random.PRNGKey(7)
+    out = sample(batch, key)
+
+    # replicate the sampler's internal key discipline with explicit
+    # batch-1 forwards
+    h0, w0 = scale_size_2d(0, cfg.scale_factor, cfg.stop_scale, cfg.img_size,
+                           cfg.ar)
+    kn, kf = jax.random.split(key)
+    noise = jax.random.normal(kn, (batch, h0, w0, cfg.latent_dim))
+    amps = np.zeros((cfg.stop_scale + 2,), np.float32)
+    amps[:len(cfg.Noise_Amps)] = cfg.Noise_Amps
+    singles = []
+    for z, k in zip(noise, jax.random.split(kf, batch)):
+        o, _ = g_apply(cfg, g_params, g_state, video=None,
+                       amps=jnp.asarray(amps), noise_init=z[None], key=k,
+                       is_random=True, train=True)
+        singles.append(np.asarray(o[0][0]))
+    np.testing.assert_allclose(out, np.stack(singles), atol=2e-5)
+
+
 def test_compile_ahead_mesh_cache_hit(tmp_path, caplog):
     """Compile-ahead must actually pre-populate the jit cache on MESH runs:
     each scale's chunk compiles exactly once (foreground for scale 0,

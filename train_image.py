@@ -102,6 +102,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help='overlap each scale\'s training with the next '
                              'scale\'s XLA compile (2.7x full-run wall clock, '
                              'behavior-identical; --no-compile-ahead disables)')
+    parser.add_argument('--split-step', action='store_true', default=False,
+                        help='compile D and G updates as separate programs '
+                             'from the start instead of one combined chunk '
+                             '(the retry fallback does this automatically '
+                             'when the combined chunk exceeds the compiler '
+                             'at the largest 3D scales — this flag skips '
+                             'the doomed compile attempt on repeat runs)')
     parser.add_argument('--xla-option', dest='xla_options', action='append',
                         default=None, metavar='KEY=VALUE',
                         help='extra XLA compiler option for the train chunk '
