@@ -24,6 +24,9 @@ def main():
     parser.add_argument('--scale-idx', type=int, default=-1,
                         help='current scale idx (=len of body)')
     parser.add_argument('--batch-size', type=int, default=1)
+    parser.add_argument('--num-samples', type=int, default=1,
+                        help='noise bins to write for the runner (one '
+                             'inference per bin, latency averaged)')
     args = parser.parse_args()
 
     exceptions = ['niter', 'data_rep', 'batch_size', 'netG', 'scale_idx']
@@ -36,7 +39,7 @@ def main():
     os.makedirs(infer_dir, exist_ok=True)
 
     # writes noise bins AND resolves cfg.scale_idx from intermediate.json
-    pre_process(cfg, args.exp_dir)
+    pre_process(cfg, args.exp_dir, num_samples=args.num_samples)
 
     netG = args.netG or f'netG_{cfg.scale_idx}.ckpt'
     path = netG if os.path.isabs(netG) else os.path.join(args.exp_dir, netG)

@@ -35,7 +35,10 @@ if [ -z "${2:-}" ] && [ -z "${PJRT_PLUGIN:-}" ] && [ -e /opt/axon/libaxon_pjrt.s
 fi
 
 echo "== export =="
-python3 "$repo_dir/export.py" --exp-dir "$exp_dir"
+# NUM_SAMPLES=N writes N noise bins — the runner executes one inference
+# per bin and reports the averaged latency (reference main.cc loop)
+python3 "$repo_dir/export.py" --exp-dir "$exp_dir" \
+    --num-samples "${NUM_SAMPLES:-1}"
 
 echo "== build runner =="
 bash "$repo_dir/native/pjrt_runner/build.sh" > /dev/null
