@@ -71,6 +71,38 @@ def test_infer_pipeline(tmp_path):
     assert os.path.exists(os.path.join(infer, "images", "fake_0_0.png"))
 
 
+def test_preprocess_multi_sample_bins(tmp_path):
+    """--num-samples N writes N distinct noise bins and clears stale
+    noise/result bins (the runner executes EVERY file in the input dir, so
+    leftovers would feed it extra inputs and leak old outputs into
+    postprocess)."""
+    from preprocess import pre_process
+
+    cfg = Config(image_path=IMG, checkname="pp", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=24, min_size=12,
+                 max_size=24, vae_levels=1, print_interval=100,
+                 run_dir=str(tmp_path), manualSeed=1).finalize()
+    _, _, _, saver = run_training(cfg, mode="image", seed=1)
+    exp_dir = saver.experiment_dir
+
+    cfg.scale_idx = -1
+    pre_process(cfg, exp_dir, num_samples=3)
+    noise_dir = os.path.join(exp_dir, "infer", "noise_init")
+    bins = sorted(os.listdir(noise_dir))
+    assert bins == [f"noise_init_{i:03d}.bin" for i in range(3)]
+    arrs = [np.fromfile(os.path.join(noise_dir, b), np.float32) for b in bins]
+    assert not np.allclose(arrs[0], arrs[1])  # distinct draws
+
+    # stale result bins are cleared; sample count changes don't leave strays
+    result_dir = os.path.join(exp_dir, "infer", "result")
+    os.makedirs(result_dir, exist_ok=True)
+    open(os.path.join(result_dir, "stale_output_0.bin"), "wb").write(b"x")
+    cfg.scale_idx = -1
+    pre_process(cfg, exp_dir, num_samples=1)
+    assert sorted(os.listdir(noise_dir)) == ["noise_init.bin"]
+    assert os.listdir(result_dir) == []
+
+
 def test_infer_pipeline_video(tmp_path):
     """Video serving chain: 3D export (NCTHW bins) -> execute -> postprocess
     .npy videos + GIF + SVFID (the reference's 310 pipeline is image-only;
