@@ -46,7 +46,8 @@ def log(*a):
 
 
 def build(scale_idx: int, compute_dtype: str, steps_per_call: int = None,
-          flat_opt: bool = None, xla_options: dict = None):
+          flat_opt: bool = None, xla_options: dict = None,
+          fused_dg: bool = False):
     from hpvaegan_tpu import models
     from hpvaegan_tpu.config import Config
     from hpvaegan_tpu.data.image import (SingleImageDataset,
@@ -59,7 +60,7 @@ def build(scale_idx: int, compute_dtype: str, steps_per_call: int = None,
     from hpvaegan_tpu.training.steps import make_train_chunk
 
     cfg = Config(image_path="data/imgs/air_balloons.jpg",
-                 compute_dtype=compute_dtype).finalize()
+                 compute_dtype=compute_dtype, fused_dg=fused_dg).finalize()
     cfg.scale_idx = scale_idx
     if steps_per_call:
         cfg.steps_per_call = steps_per_call
@@ -103,7 +104,7 @@ def build(scale_idx: int, compute_dtype: str, steps_per_call: int = None,
 
 def bench_scale(scale_idx: int, iters: int = 20, warmup: int = 2,
                 compute_dtype: str = "float32", flat_opt: bool = None,
-                xla_options: dict = None) -> float:
+                xla_options: dict = None, fused_dg: bool = False) -> float:
     """steps/sec of the fused training chunk (the trainer's real dispatch
     pattern: `steps_per_call` full D+G iterations per XLA launch).
 
@@ -112,7 +113,8 @@ def bench_scale(scale_idx: int, iters: int = 20, warmup: int = 2,
     jax.block_until_ready can return before execution finishes, which
     silently inflates throughput by >10x."""
     cfg, state, chunk, data_scale, data_zero, amps = build(
-        scale_idx, compute_dtype, flat_opt=flat_opt, xla_options=xla_options)
+        scale_idx, compute_dtype, flat_opt=flat_opt, xla_options=xla_options,
+        fused_dg=fused_dg)
     for _ in range(warmup):
         state, m = chunk(state, data_scale, data_zero, amps)
     float(np.asarray(m["g_loss"]))  # true completion barrier
@@ -274,7 +276,20 @@ def main():
                    default=None, metavar="KEY=VALUE",
                    help="extra XLA compiler option for the train chunk "
                    "(repeatable)")
+    p.add_argument("--fused-dg", action="store_true",
+                   help="fused D+G chunk (shared fake forward)")
+    p.add_argument("--headline-only", action="store_true",
+                   help="skip the sampling/video rows (faster; the default "
+                   "run reports all BASELINE.md rows)")
     args = p.parse_args()
+
+    # validate --xla-option BEFORE any bench runs (a malformed option must
+    # not surface only after minutes of TPU compiles)
+    bad = [s for s in args.xla_options or [] if "=" not in s]
+    if bad:
+        p.error(f"--xla-option expects KEY=VALUE, got: {', '.join(bad)}")
+    xla_opts = dict(s.split("=", 1) for s in args.xla_options) \
+        if args.xla_options else None
 
     log(f"devices: {jax.devices()}")
     if args.all_scales:
@@ -283,31 +298,61 @@ def main():
                               compute_dtype=args.compute_dtype)
             log(f"scale {s}: {sps:.3f} steps/s")
     if args.sampling:
-        ips = bench_sampling()
-        log(f"batched generation (64/batch, full depth, f32): {ips:.2f} images/s")
         ips16 = bench_sampling(compute_dtype="bfloat16")
         log(f"batched generation (bf16 flow-through): {ips16:.2f} images/s")
         secs = bench_eval_sifid()
         log(f"end-to-end 64 samples + on-device sinFID: {secs:.2f} s")
-    if args.video:
-        vsps = bench_video_scale(compute_dtype=args.compute_dtype)
-        log(f"video train step (finest 128px scale, td 13, "
-            f"{args.compute_dtype}): {vsps:.2f} steps/s")
 
-    bad = [s for s in args.xla_options or [] if "=" not in s]
-    if bad:
-        p.error(f"--xla-option expects KEY=VALUE, got: {', '.join(bad)}")
-    xla_opts = dict(s.split("=", 1) for s in args.xla_options) \
-        if args.xla_options else None
+    # ---- headline: finest-scale image train step, the qualified config ----
     sps = bench_scale(9, iters=args.iters, compute_dtype=args.compute_dtype,
-                      flat_opt=args.flat_opt, xla_options=xla_opts)
-    log(f"finest scale (9, 257px): {sps:.3f} steps/s")
-    print(json.dumps({
+                      flat_opt=args.flat_opt, xla_options=xla_opts,
+                      fused_dg=args.fused_dg)
+    log(f"finest scale (9, 257px, {args.compute_dtype}"
+        f"{'+fused-dg' if args.fused_dg else ''}): {sps:.3f} steps/s")
+
+    result = {
         "metric": "train_steps_per_sec_finest_scale_256px_image",
         "value": round(sps, 4),
         "unit": "steps/sec",
         "vs_baseline": round(sps / target_steps_per_sec(), 4),
-    }))
+        "config": f"{args.compute_dtype}"
+                  f"{'+fused_dg' if args.fused_dg else ''}",
+    }
+
+    # ---- remaining BASELINE.md rows (all four tracked per round) ----
+    if not args.headline_only:
+        try:
+            ips = bench_sampling()
+            log(f"batched generation (64/batch, full depth, f32): "
+                f"{ips:.2f} images/s")
+            result["sampling_images_per_sec"] = round(ips, 2)
+        except Exception as e:  # a row failure must not kill the headline
+            log(f"sampling bench failed: {e!r}")
+            result["sampling_images_per_sec"] = None
+        try:
+            vsps = bench_video_scale(compute_dtype=args.compute_dtype)
+            log(f"video train step (finest 128px scale, td 13, "
+                f"{args.compute_dtype}): {vsps:.2f} steps/s")
+            result["video_steps_per_sec"] = round(vsps, 3)
+        except Exception as e:
+            log(f"video bench failed: {e!r}")
+            result["video_steps_per_sec"] = None
+        # native serving latency: measured via scripts/run_infer_tpu.sh
+        # (exports + compiles the full model through the native PJRT runner,
+        # ~minutes); the recorded artifact carries the measurement + date
+        serving = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "benchdata", "serving_latency.json")
+        if os.path.exists(serving):
+            with open(serving) as f:
+                rec = json.load(f)
+            result["serving_warm_ms"] = rec.get("warm_ms")
+            result["serving_source"] = (
+                f"recorded {rec.get('date')} ({rec.get('workload')}); "
+                f"refresh: {rec.get('how')}")
+        else:
+            result["serving_warm_ms"] = None
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

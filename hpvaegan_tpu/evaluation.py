@@ -140,10 +140,18 @@ def eval_image_experiment(cfg, exp_dir: str, seed: int = 0):
         from .parallel.sampling import sampled_sifid
 
         real01 = load_image01(cfg.image_path)
-        vals = sampled_sifid(cfg, g_params, g_state, real01,
-                             cfg.niter * cfg.num_samples,
-                             jax.random.PRNGKey(seed), mesh=mesh,
-                             z_tail=eval_z_tail(cfg, 2))
+        total = cfg.niter * cfg.num_samples
+        # FID statistics stay device-resident; only the first max_samples
+        # samples transfer (a small d2h) so the fast path keeps the
+        # reference's artifact contract (eval_image.py:179-190)
+        vals, firstk = sampled_sifid(cfg, g_params, g_state, real01, total,
+                                     jax.random.PRNGKey(seed), mesh=mesh,
+                                     z_tail=eval_z_tail(cfg, 2),
+                                     return_samples=min(cfg.max_samples,
+                                                        total))
+        np.save(os.path.join(saver.eval_dir, "random_samples.npy"),
+                firstk.transpose(0, 3, 1, 2))  # (N, C, H, W)
+        generate_images(cfg, saver)
         sifid = float(np.mean(vals))
         logging.info("SIFID (on-device): %s", sifid)
         return sifid, saver
@@ -190,10 +198,18 @@ def eval_video_experiment(cfg, exp_dir: str, seed: int = 0):
         # full-rate frames, which sampled_svfid would temporally resize
         # (blending adjacent frames the model never saw)
         window = frames[:cfg.fps_lcm + 1:cfg.sampling_rates[fps_index]]
-        vals = sampled_svfid(cfg, g_params, g_state, window,
-                             cfg.niter * cfg.num_samples,
-                             jax.random.PRNGKey(seed), mesh=mesh,
-                             z_tail=eval_z_tail(cfg, 3))
+        total = cfg.niter * cfg.num_samples
+        # keep the reference's artifact contract in the fast path: the FID
+        # stats stay on device, the first max_samples samples d2h for
+        # random_samples.npy + GIFs (extract.py:28-83)
+        vals, firstk = sampled_svfid(cfg, g_params, g_state, window, total,
+                                     jax.random.PRNGKey(seed), mesh=mesh,
+                                     z_tail=eval_z_tail(cfg, 3),
+                                     return_samples=min(cfg.max_samples,
+                                                        total))
+        np.save(os.path.join(saver.eval_dir, "random_samples.npy"),
+                firstk.transpose(0, 4, 1, 2, 3))  # (N, C, T, H, W)
+        generate_gifs(cfg, saver)
         svfid = float(np.mean(vals))
         logging.info("SVFID (on-device): %s", svfid)
         return svfid, saver

@@ -42,14 +42,30 @@ def make_serving_fn(cfg, g_params, g_state, ndim: int = 2):
             z = jnp.transpose(noise_init, (0, 2, 3, 1))  # NCHW -> NHWC
         else:
             z = jnp.transpose(noise_init, (0, 2, 3, 4, 1))  # NCTHW -> NTHWC
-        # train=True: batch-statistics BN (the exported batch is 1, so the
-        # stats are per-sample) — parity with the reference's export, whose
-        # cells are serialized in the training phase (export.py:80 never
-        # calls set_train(False)); moving-stat eval mode visibly washes out
-        # sample content (see parallel/sampling.sharded_sampler docstring)
-        out, _ = g_apply(cfg, g_params, g_state, video=None, amps=noise_amps,
-                         noise_init=z, key=key, is_random=True, train=True)
-        x = out[0]
+        # train=True: batch-statistics BN — parity with the reference's
+        # export, whose cells are serialized in the training phase
+        # (export.py:80 never calls set_train(False)); moving-stat eval mode
+        # visibly washes out sample content (see
+        # parallel/sampling.sharded_sampler docstring). At batch 1 the batch
+        # statistics ARE per-sample; at batch > 1 a plain batched forward
+        # would pool BN stats ACROSS the exported batch, coupling samples —
+        # so vmap batch-1 forwards with per-sample keys, exactly like
+        # sharded_sampler. (batch == 1 keeps the unvmapped forward so
+        # previously exported artifacts stay byte-identical for a seed.)
+        b = z.shape[0]
+        if b == 1:
+            out, _ = g_apply(cfg, g_params, g_state, video=None,
+                             amps=noise_amps, noise_init=z, key=key,
+                             is_random=True, train=True)
+            x = out[0]
+        else:
+            def one(z1, k):
+                out, _ = g_apply(cfg, g_params, g_state, video=None,
+                                 amps=noise_amps, noise_init=z1[None], key=k,
+                                 is_random=True, train=True)
+                return out[0][0]
+
+            x = jax.vmap(one)(z, jax.random.split(key, b))
         if ndim == 2:
             return jnp.transpose(x, (0, 3, 1, 2))
         return jnp.transpose(x, (0, 4, 1, 2, 3))

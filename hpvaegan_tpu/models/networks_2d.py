@@ -80,7 +80,9 @@ def encode2dvae_nb_apply(cfg, params, state, x, compute_dtype=None):
     logvar = jnp.mean(conv2d_apply(params["logvar"], feats, padding=pad,
                                    compute_dtype=compute_dtype), (1, 2),
                       keepdims=True)
-    return (mu, logvar, bern), {"features": fs}
+    # latents/KL (incl. the Bernoulli gate feeding kl_bern) stay f32 under bf16
+    return (mu.astype(jnp.float32), logvar.astype(jnp.float32),
+            bern.astype(jnp.float32)), {"features": fs}
 
 
 def encode2dvae1x1_init(cfg, key, out_dim: Optional[int] = None):

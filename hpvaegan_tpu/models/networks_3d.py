@@ -94,7 +94,9 @@ def encode3dvae_nb_apply(cfg, params, state, x, compute_dtype=None):
     logvar = jnp.mean(conv3d_apply(params["logvar"], feats, padding=pad,
                                    compute_dtype=compute_dtype),
                       (1, 2, 3), keepdims=True)
-    return (mu, logvar, bern), {"features": fs}
+    # latents/KL (incl. the Bernoulli gate feeding kl_bern) stay f32 under bf16
+    return (mu.astype(jnp.float32), logvar.astype(jnp.float32),
+            bern.astype(jnp.float32)), {"features": fs}
 
 
 def encode3dvae1x1_init(cfg, key, out_dim: Optional[int] = None):
@@ -115,7 +117,8 @@ def encode3dvae1x1_apply(cfg, params, state, x, compute_dtype=None):
     mu = conv3d_apply(params["mu"], feats, padding=0, compute_dtype=compute_dtype)
     logvar = conv3d_apply(params["logvar"], feats, padding=0,
                           compute_dtype=compute_dtype)
-    return (mu, logvar), {"features": fs}
+    # latents/KL stay f32 even when activations flow in bf16
+    return (mu.astype(jnp.float32), logvar.astype(jnp.float32)), {"features": fs}
 
 
 # ------------------------------------------------------------ discriminators ---

@@ -121,7 +121,13 @@ def make_sampled_sifid(cfg, g_params, g_state, real_image, mesh=None,
     sampler + Inception, ~17s through the remote tunnel; warm calls ~0.3s).
 
     real_image: (H, W, 3) float in [0,1]; its stats are computed once at the
-    generation scale."""
+    generation scale.
+
+    run(..., return_samples=k) additionally transfers the FIRST k samples to
+    the host (a small d2h; the FID statistics stay device-resident) and
+    returns (vals, samples_k) — the eval CLI uses this to keep the
+    reference's artifact contract (random_samples.npy + PNGs,
+    eval_image.py:179-190) in the fast path."""
     from ..metrics.fid import calculate_frechet_distance
     from ..metrics.inception import InceptionV3
     from ..ops.resize import resize_bilinear
@@ -132,7 +138,7 @@ def make_sampled_sifid(cfg, g_params, g_state, real_image, mesh=None,
     stats = _per_sample_stats
     real_stats = []  # computed once, at the ACTUAL fake output size
 
-    def run(num_samples: int, key):
+    def run(num_samples: int, key, return_samples: int = 0):
         fakes = sample(num_samples, key, device=True)  # [-1,1] device array
         mu_f, sig_f = stats(model((fakes + 1.0) * 0.5)[-1])
         mu_f, sig_f = np.asarray(mu_f), np.asarray(sig_f)  # tiny transfer
@@ -144,18 +150,24 @@ def make_sampled_sifid(cfg, g_params, g_state, real_image, mesh=None,
             mu_r, sig_r = stats(model(real)[-1])
             real_stats.append((np.asarray(mu_r)[0], np.asarray(sig_r)[0]))
         mu_r, sig_r = real_stats[0]
-        return [float(calculate_frechet_distance(mu_f[i], sig_f[i],
+        vals = [float(calculate_frechet_distance(mu_f[i], sig_f[i],
                                                  mu_r, sig_r))
                 for i in range(num_samples)]
+        if return_samples:
+            return vals, np.asarray(fakes[:min(return_samples, num_samples)])
+        return vals
 
     return run
 
 
 def sampled_sifid(cfg, g_params, g_state, real_image, num_samples: int, key,
-                  mesh=None, dims: int = 64, z_tail=None):
+                  mesh=None, dims: int = 64, z_tail=None,
+                  return_samples: int = 0):
     """One-shot wrapper around make_sampled_sifid."""
     return make_sampled_sifid(cfg, g_params, g_state, real_image, mesh=mesh,
-                              dims=dims, z_tail=z_tail)(num_samples, key)
+                              dims=dims, z_tail=z_tail)(
+                                  num_samples, key,
+                                  return_samples=return_samples)
 
 
 def make_sampled_svfid(cfg, g_params, g_state, real_video, mesh=None,
@@ -177,7 +189,7 @@ def make_sampled_svfid(cfg, g_params, g_state, real_video, mesh=None,
     stats = _per_sample_stats
     real_stats = []
 
-    def run(num_samples: int, key):
+    def run(num_samples: int, key, return_samples: int = 0):
         fakes = sample(num_samples, key, device=True)  # (B,T,H,W,C) [-1,1]
         mu_f, sig_f = stats(model((fakes + 1.0) * 0.5)[-1])
         mu_f, sig_f = np.asarray(mu_f), np.asarray(sig_f)
@@ -189,15 +201,21 @@ def make_sampled_svfid(cfg, g_params, g_state, real_video, mesh=None,
             mu_r, sig_r = stats(model(real)[-1])
             real_stats.append((np.asarray(mu_r)[0], np.asarray(sig_r)[0]))
         mu_r, sig_r = real_stats[0]
-        return [float(calculate_frechet_distance(mu_f[i], sig_f[i],
+        vals = [float(calculate_frechet_distance(mu_f[i], sig_f[i],
                                                  mu_r, sig_r))
                 for i in range(num_samples)]
+        if return_samples:
+            return vals, np.asarray(fakes[:min(return_samples, num_samples)])
+        return vals
 
     return run
 
 
 def sampled_svfid(cfg, g_params, g_state, real_video, num_samples: int, key,
-                  mesh=None, dims: int = 64, z_tail=None):
+                  mesh=None, dims: int = 64, z_tail=None,
+                  return_samples: int = 0):
     """One-shot wrapper around make_sampled_svfid."""
     return make_sampled_svfid(cfg, g_params, g_state, real_video, mesh=mesh,
-                              dims=dims, z_tail=z_tail)(num_samples, key)
+                              dims=dims, z_tail=z_tail)(
+                                  num_samples, key,
+                                  return_samples=return_samples)

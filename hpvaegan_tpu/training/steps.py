@@ -178,6 +178,14 @@ def make_train_chunk(cfg, g_apply: Callable, d_apply: Callable, opt_g, opt_d,
                 # H axis: 1 for (B,H,W,C) images, 2 for (B,T,H,W,C) video.
                 # XLA SPMD inserts the conv halo exchanges; only shard when
                 # divisible so the ceil-ladder's odd sizes fall back cleanly.
+                # DECISION (SURVEY §2.3 CP row): for video the 'sp' axis
+                # shards H, NOT T — the reference ladder's time depth is
+                # 4..13 frames (rarely divisible by a mesh axis, and a
+                # ker//2-frame halo is a large fraction of a <=4-frame
+                # shard), while H reaches 256+ with a 1-row halo per
+                # neighbor. T-axis CP stays available as a capability
+                # (tests/test_parallel.py::
+                # test_context_parallel_conv3d_over_time).
                 h_axis = 1 if x.ndim == 4 else 2
                 if x.shape[h_axis] % sp == 0:
                     spec[h_axis] = "sp"

@@ -384,19 +384,13 @@ int main(int argc, char** argv) {
 
     // --- output to host
     PJRT_Buffer* out = out_list[0];
-    PJRT_Buffer_ToHostBuffer_Args th;
-    memset(&th, 0, sizeof(th));
-    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
-    th.extension_start = nullptr;
-    th.src = out;
-    th.dst = nullptr;  // size query
-    Check(api, api->PJRT_Buffer_ToHostBuffer(&th), "d2h size");
-    std::vector<char> host(th.dst_size);
     // The output .bin contract is DENSE ROW-MAJOR (postprocess.py reshapes
     // NCHW/NCTHW). With host_layout null the plugin copies in the DEVICE
     // layout — on TPU that holds images H-minor (last two logical axes
     // transposed), which silently garbles every row-major consumer. Spell
-    // out dense row-major byte strides explicitly.
+    // out dense row-major byte strides explicitly — and do so BEFORE the
+    // size query, so dst_size reflects the dense row-major layout rather
+    // than a (possibly padded) device layout.
     PJRT_Buffer_Dimensions_Args bd;
     memset(&bd, 0, sizeof(bd));
     bd.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
@@ -415,7 +409,15 @@ int main(int argc, char** argv) {
     layout.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
     layout.tiled.minor_to_major = minor_to_major.data();
     layout.tiled.minor_to_major_size = minor_to_major.size();
+    PJRT_Buffer_ToHostBuffer_Args th;
+    memset(&th, 0, sizeof(th));
+    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    th.extension_start = nullptr;
+    th.src = out;
     th.host_layout = &layout;
+    th.dst = nullptr;  // size query (for the requested row-major layout)
+    Check(api, api->PJRT_Buffer_ToHostBuffer(&th), "d2h size");
+    std::vector<char> host(th.dst_size);
     th.dst = host.data();
     Check(api, api->PJRT_Buffer_ToHostBuffer(&th), "d2h");
     AwaitEvent(api, th.event, "d2h done");

@@ -102,8 +102,14 @@ def test_eval_image_on_device_fid(tmp_path):
                                         save_path="images", scale_idx=-1,
                                         mesh_data=8, on_device_fid=True,
                                         netG=""))
-    sifid, _ = eval_image_experiment(ecfg, exp_dir, seed=0)
+    sifid, esaver = eval_image_experiment(ecfg, exp_dir, seed=0)
     assert np.isfinite(sifid) and sifid >= 0
+    # the fast path keeps the reference's artifact contract: the first
+    # max_samples samples are written even though FID stats stay on device
+    samples = np.load(os.path.join(esaver.eval_dir, "random_samples.npy"))
+    assert samples.shape[0] == 4 and samples.shape[1] == 3  # (N, C, H, W)
+    assert os.path.exists(os.path.join(esaver.eval_dir, "images",
+                                       "fake_0.png"))
 
 
 def test_eval_image_mesh_sampling(tmp_path):
@@ -145,5 +151,11 @@ def test_eval_video_on_device_fid(tmp_path):
                                         save_path="images", scale_idx=-1,
                                         mesh_data=8, on_device_fid=True,
                                         netG=""))
-    svfid, _ = eval_video_experiment(ecfg, exp_dir, seed=0)
+    svfid, esaver = eval_video_experiment(ecfg, exp_dir, seed=0)
     assert np.isfinite(svfid) and svfid >= 0
+    # artifact contract in the fast path: npy + GIFs exist
+    samples = np.load(os.path.join(esaver.eval_dir, "random_samples.npy"))
+    assert samples.ndim == 5 and samples.shape[0] == 4  # (N, C, T, H, W)
+    out_dir = os.path.join(esaver.eval_dir, "images")
+    assert os.path.exists(os.path.join(out_dir, "fake.gif"))
+    assert os.path.exists(os.path.join(out_dir, "real_unfold.png"))

@@ -50,3 +50,27 @@ def test_export_roundtrip(tmp_path):
     # the .mlir is StableHLO text the native runner can compile
     text = open(prefix + ".mlir").read()
     assert "stablehlo" in text and "noise_init" in text
+
+
+def test_export_batched_bn_is_per_sample(tmp_path):
+    """--batch-size N export must keep BN statistics per sample: sample 0's
+    output may not depend on sample 1's noise (a plain batched train-mode
+    forward would couple them through pooled batch stats)."""
+    cfg, p, s = _tiny_generator()
+    exported = export_sampler(cfg, p, s, ndim=2, batch=2)
+    prefix = str(tmp_path / "netG_b2")
+    save_exported(exported, prefix, write_mlir=False)
+
+    specs = serving_input_specs(cfg, ndim=2, batch=2)
+    rng = np.random.RandomState(0)
+    noise = rng.standard_normal(specs[0].shape).astype(np.float32)
+    amps = np.ones(specs[1].shape, np.float32)
+
+    out_a = np.asarray(load_and_run_serialized(prefix + ".stablehlo", noise,
+                                               amps, np.int32(3)))
+    noise_b = noise.copy()
+    noise_b[1] = rng.standard_normal(noise[1].shape).astype(np.float32)
+    out_b = np.asarray(load_and_run_serialized(prefix + ".stablehlo", noise_b,
+                                               amps, np.int32(3)))
+    np.testing.assert_array_equal(out_a[0], out_b[0])  # decoupled
+    assert np.abs(out_a[1] - out_b[1]).max() > 0       # sample 1 did change

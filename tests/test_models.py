@@ -199,3 +199,51 @@ def test_grouped_batchnorm_matches_separate():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(sg["var"]), np.asarray(s2["var"]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_bf16_latents_stay_f32_all_encoder_variants():
+    """Under --compute-dtype bfloat16, mu/logvar (and the Bernoulli gate
+    feeding kl_bern) must be f32 for EVERY encoder variant — the documented
+    invariant 'latents/KL stay f32'. Covers the nb encoders and the 3D 1x1
+    variant that previously leaked bf16 latents."""
+    from hpvaegan_tpu import losses
+    from hpvaegan_tpu.models import networks_2d, networks_3d
+
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    cfg = tiny_cfg(generator="GeneratorVAE_nb")
+
+    # 2D nb, through the full GeneratorVAE_nb forward
+    g_init, g_apply = models.get_generator("GeneratorVAE_nb", 2)
+    p, s = g_init(cfg, jax.random.PRNGKey(0))
+    amps = jnp.ones((cfg.stop_scale + 2,))
+    h0, w0 = scale_size_2d(0, cfg.scale_factor, cfg.stop_scale, cfg.img_size, 1.0)
+    x = jnp.ones((1, h0, w0, 3), f32)
+    (out, vae_out, mu, logvar, bern), _ = g_apply(
+        cfg, p, s, video=x, amps=amps, key=jax.random.PRNGKey(1), train=True,
+        compute_dtype=bf16)
+    assert mu.dtype == f32 and logvar.dtype == f32 and bern.dtype == f32
+    assert losses.kl_criterion(mu, logvar).dtype == f32
+    assert losses.kl_bern_criterion(bern).dtype == f32
+
+    # 3D nb + 3D 1x1 + plain encoders, direct apply
+    cfg3 = tiny_cfg()
+    xv = jnp.ones((1, 4, h0, w0, 3), f32)
+    p3, s3 = networks_3d.encode3dvae_nb_init(cfg3, jax.random.PRNGKey(2),
+                                             out_dim=cfg3.latent_dim,
+                                             num_blocks=1)
+    (mu3, lv3, b3), _ = networks_3d.encode3dvae_nb_apply(
+        cfg3, p3, s3, xv, compute_dtype=bf16)
+    assert mu3.dtype == f32 and lv3.dtype == f32 and b3.dtype == f32
+
+    p1, s1 = networks_3d.encode3dvae1x1_init(cfg3, jax.random.PRNGKey(3),
+                                             out_dim=cfg3.latent_dim)
+    (mu1, lv1), _ = networks_3d.encode3dvae1x1_apply(cfg3, p1, s1, xv,
+                                                     compute_dtype=bf16)
+    assert mu1.dtype == f32 and lv1.dtype == f32
+
+    pe, se = networks_2d.encode2dvae_init(cfg, jax.random.PRNGKey(4),
+                                          out_dim=cfg.latent_dim, num_blocks=1)
+    (mue, lve), _ = networks_2d.encode2dvae_apply(cfg, pe, se, x,
+                                                  compute_dtype=bf16)
+    assert mue.dtype == f32 and lve.dtype == f32

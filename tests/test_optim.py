@@ -75,18 +75,20 @@ def test_flat_clip_limits_per_leaf_norm():
     opt = flat_adam({"big": 1.0, "small": 1.0}, 0.0, beta2=0.0,
                     eps=0.0, grad_clip=clip)
     state = opt.init(params)
-    updates, _ = opt.update(grads, state, params)
-    # beta1=beta2=0 -> m_hat = g_clipped, v_hat = g_clipped^2
-    # update = -lr * g/|g| elementwise = sign; but per-leaf norm of the
-    # clipped grad itself must equal clip for the big leaf:
-    # reconstruct clipped grad from the known formula instead
-    sums = jnp.sum(grads["big"] ** 2)
-    scale = jnp.minimum(1.0, clip / jnp.sqrt(sums))
-    clipped = grads["big"] * scale
-    assert np.isclose(float(jnp.linalg.norm(clipped)), clip, atol=1e-5)
-    # and the small leaf is untouched (scale==1): update is exactly -sign
+    updates, new_state = opt.update(grads, state, params)
+    # beta1=0 -> the first moment IS the clipped gradient; observe the clip
+    # through flat_adam's OWN state buffer (tree order: "big" then "small")
+    m = np.asarray(new_state.m)
+    assert np.isclose(np.linalg.norm(m[:16]), clip, atol=1e-5)  # clipped
+    np.testing.assert_allclose(m[16:], np.asarray(grads["small"]),
+                               atol=1e-7)  # norm < clip: untouched
+    # direction preserved: clipping rescales, never flips
+    assert (m[:16] > 0).all()
+    # and with beta1=beta2=0, eps=0 the update is exactly -sign(g) per elem
     np.testing.assert_allclose(np.asarray(updates["small"]),
                                -np.ones((4,)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(updates["big"]),
+                               -np.ones((16,)), atol=1e-6)
 
 
 def test_flat_adam_init_from_abstract_shapes():

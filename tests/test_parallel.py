@@ -239,3 +239,26 @@ def test_spatial_sharded_training(tmp_path):
     g_params, _, amps, _ = run_training(cfg, mode="image", seed=1)
     assert len(amps) == cfg.stop_scale + 1
     assert all(np.isfinite(a) for a in amps)
+
+
+def test_video_mesh_training(tmp_path):
+    """Trainer-level VIDEO run on a ('data':2, 'sp':4) mesh: the 5-D
+    (B, T, H, W, C) batch is sharded over 'data' on B and H-sharded over
+    'sp' at scales where H divides 4 (the chunk's _shard video branch,
+    training/steps.py — XLA SPMD emits the Conv3D halo exchanges),
+    replicated-H otherwise."""
+    import os
+
+    from hpvaegan_tpu.training.trainer import run_training
+
+    vid = os.path.join(os.path.dirname(__file__), "..", "data", "vids",
+                       "synthetic.avi")
+    cfg = Config(video_path=vid, checkname="vmesh", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=24, min_size=12,
+                 max_size=24, vae_levels=1, sampling_rates=[2, 1],
+                 max_frames=5, discriminator="WDiscriminator3D",
+                 batch_size=2, mesh_data=2, mesh_sp=4, steps_per_call=2,
+                 run_dir=str(tmp_path), manualSeed=1).finalize()
+    g_params, _, amps, _ = run_training(cfg, mode="video", seed=1)
+    assert len(amps) == cfg.stop_scale + 1
+    assert all(np.isfinite(a) for a in amps)
