@@ -279,14 +279,21 @@ def run_scale_with_retry(train_fn, cfg, g_params, g_state, key,
     compiler — each half always compiles)."""
     import jax.errors
 
-    from ..utils.saver import tree_to_numpy
+    from ..utils.saver import snapshot_tree
 
     scale_idx = cfg.scale_idx
     # host snapshot of the scale's ENTRY state: the failed attempt may have
     # consumed donated device buffers, and checkpoint files may live in a
-    # different directory on resumed runs — the snapshot is directory-free
-    entry = tree_to_numpy({"params": g_params, "state": g_state,
-                           "key": key})
+    # different directory on resumed runs — the snapshot is directory-free.
+    # Watchdog-guarded: a dropped d2h on the remote-TPU tunnel would
+    # otherwise block here forever; a double timeout means the process's
+    # transport session is dead and TransportWedgedError aborts the run for
+    # a supervisor restart (observed round 3; scripts/train_watchdog.sh).
+    entry, snap_kind = snapshot_tree({"params": g_params, "state": g_state,
+                                      "key": key})
+    if snap_kind != "host":
+        logging.warning("scale %d entry snapshot d2h hung once; recovered "
+                        "via %s", scale_idx, snap_kind)
     for attempt in range(retries + 1):
         try:
             return train_fn(g_params, g_state, key, attempt > 0)

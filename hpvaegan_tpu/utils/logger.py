@@ -8,6 +8,7 @@ LoggingBlock context manager that indents nested log sections.
 
 from __future__ import annotations
 
+import io
 import logging
 import re
 
@@ -49,7 +50,19 @@ class _IndentFormatter(logging.Formatter):
 
 def configure_logging(filename: str = None) -> None:
     """Console (INFO+, colors kept, LOGBOOK suppressed) + file logbook
-    (everything, ANSI-stripped). Reference: logger.py:70-120."""
+    (everything, ANSI-stripped). Reference: logger.py:70-120.
+
+    Also registers a SIGUSR1 faulthandler: `kill -USR1 <pid>` dumps every
+    thread's Python stack to stderr without killing the process — the
+    remote-TPU transport can wedge a process at init (observed round 3),
+    and a live stack dump is the only way to localize it on a long run."""
+    import faulthandler
+    import signal
+
+    try:
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except (AttributeError, ValueError, io.UnsupportedOperation):
+        pass  # non-main thread or no usable stderr
     add_logging_level("LOGBOOK", LOGBOOK_LEVEL)
     root = logging.getLogger()
     root.setLevel(logging.DEBUG)

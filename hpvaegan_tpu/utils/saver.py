@@ -26,6 +26,60 @@ def tree_to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def snapshot_tree(tree, timeout_s: float = 120.0, retry_timeout_s: float = 60.0):
+    """Host snapshot of a device pytree, guarded against a wedged transport.
+
+    On remote-TPU tunnels a d2h request can be silently dropped — the
+    blocking np.asarray then never returns (observed round 3: the trainer's
+    scale-entry retry snapshot froze whole runs at startup, ~0 CPU, all
+    threads in futex wait; minutes later the same process's d2h channel
+    RECOVERED and training completed normally). np.asarray cannot be
+    interrupted once blocked, so the copy runs in a daemon thread with a
+    deadline:
+      1. d2h in a worker thread; success -> numpy snapshot (the normal case).
+      2. On timeout: issue FRESH device->device copies (new buffers, new
+         RPCs — the dropped request is not retried by the runtime) and d2h
+         those with a second deadline.
+      3. If that also times out, KEEP the device-side copies as the
+         snapshot and let the run proceed: the wedge has been observed to
+         clear, and a completed run beats a restart. The copies are
+         donation-safe (fresh buffers) and the retry path's jnp.asarray
+         restore accepts either form. If the channel is truly dead, the
+         next metrics readback hangs the run and the external supervisor
+         (scripts/train_watchdog.sh) restarts from the newest checkpoint —
+         that is the net, not this function.
+    Returns (snapshot, kind) with kind in {'host', 'host-retry', 'device'}.
+    """
+    import threading
+
+    import jax.numpy as jnp
+
+    def _attempt(t, deadline):
+        box = {}
+
+        def work():
+            try:
+                box["v"] = tree_to_numpy(t)
+            except Exception as e:  # noqa: BLE001 — surfaced via box
+                box["e"] = e
+
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        th.join(deadline)
+        if "e" in box:
+            raise box["e"]
+        return box.get("v")
+
+    snap = _attempt(tree, timeout_s)
+    if snap is not None:
+        return snap, "host"
+    copies = jax.tree_util.tree_map(jnp.copy, tree)
+    snap = _attempt(copies, retry_timeout_s)
+    if snap is not None:
+        return snap, "host-retry"
+    return copies, "device"
+
+
 def save_pytree(tree, filename: str) -> None:
     with open(filename, "wb") as f:
         pickle.dump(tree_to_numpy(tree), f)

@@ -1,0 +1,76 @@
+#!/bin/bash
+# Stall-supervised training (failure detection, SURVEY §5 — beyond the
+# reference, which trains blind). The remote-TPU transport can silently drop
+# a request; the training process then blocks forever in a d2h/compile wait
+# with ~0 CPU, which no in-process exception handler can catch. This
+# supervisor restarts the run from its newest checkpoint when the logbook
+# stops advancing.
+#
+# Usage: bash scripts/train_watchdog.sh RUN_DIR STALL_SECS MAX_RESTARTS CMD...
+#   RUN_DIR       the --run-dir passed to CMD (layout <run_dir>/<clip>/
+#                 <checkname>/experiment_<n>/). MUST be dedicated to this
+#                 run: the newest intermediate.json under it drives resume,
+#                 so a shared dir would resume from an unrelated experiment.
+#   STALL_SECS    no logbook growth for this long => stalled. Must exceed
+#                 the longest expected cold compile (~600 s for the finest
+#                 3D chunk through the tunnel); 900 is a good default.
+#   MAX_RESTARTS  give up after this many restarts.
+#   CMD...        the training command (train_image.py / train_video.py
+#                 invocation). Must accept --netG/--intermediate for resume.
+#
+# On stall: SIGUSR1 first (the CLIs register a faulthandler — the stack dump
+# lands in the process stderr for diagnosis), then SIGTERM/SIGKILL, then
+# restart with --netG <newest ckpt> --intermediate <intermediate.json>.
+set -u
+run_dir=$1; stall=$2; max_restarts=$3; shift 3
+
+attempt=0
+while :; do
+    resume=()
+    inter=$(ls -t "$run_dir"/*/*/experiment_*/intermediate.json 2>/dev/null | head -1)
+    if [ -n "${inter:-}" ]; then
+        exp_dir=$(dirname "$inter")
+        idx=$(python3 -c "import json,sys;print(json.load(open(sys.argv[1]))['scale_idx'])" "$inter")
+        ckpt="$exp_dir/netG_$idx.ckpt"
+        [ -f "$ckpt" ] && resume=(--netG "$ckpt" --intermediate "$inter")
+    fi
+    "$@" "${resume[@]}" &
+    pid=$!
+    start_ts=$(date +%s)
+    echo "watchdog: started pid $pid (attempt $attempt, resume: ${resume[*]:-fresh})"
+
+    stalled=0
+    while kill -0 "$pid" 2>/dev/null; do
+        sleep 30
+        log=$(ls -t "$run_dir"/*/*/experiment_*/logbook.txt 2>/dev/null | head -1)
+        ref=$start_ts
+        if [ -n "${log:-}" ]; then
+            m=$(stat -c %Y "$log")
+            [ "$m" -gt "$ref" ] && ref=$m
+        fi
+        now=$(date +%s)
+        if [ $((now - ref)) -ge "$stall" ]; then
+            echo "watchdog: no progress for $((now - ref))s — dumping stacks and restarting"
+            kill -USR1 "$pid" 2>/dev/null; sleep 5
+            kill -TERM "$pid" 2>/dev/null; sleep 10
+            kill -KILL "$pid" 2>/dev/null
+            wait "$pid" 2>/dev/null
+            stalled=1
+            break
+        fi
+    done
+
+    if [ "$stalled" = 0 ]; then
+        wait "$pid"; rc=$?
+        if [ "$rc" = 0 ]; then
+            echo "watchdog: training completed"
+            exit 0
+        fi
+        echo "watchdog: training exited rc=$rc"
+    fi
+    attempt=$((attempt + 1))
+    if [ "$attempt" -gt "$max_restarts" ]; then
+        echo "watchdog: giving up after $max_restarts restarts"
+        exit 1
+    fi
+done

@@ -58,3 +58,59 @@ def test_non_finite_abort_not_retried(tmp_path, monkeypatch):
     except RuntimeError:
         pass
     assert calls["n"] == 1  # no retry of deliberate aborts
+
+
+def test_snapshot_tree_host_normal():
+    """Normal path: a host numpy snapshot, values bit-equal."""
+    import jax
+    import jax.numpy as jnp
+
+    from hpvaegan_tpu.utils.saver import snapshot_tree
+
+    tree = {"w": jnp.arange(6.0).reshape(2, 3), "k": jax.random.PRNGKey(1)}
+    snap, kind = snapshot_tree(tree, timeout_s=60)
+    assert kind == "host"
+    assert isinstance(snap["w"], np.ndarray)
+    np.testing.assert_array_equal(snap["w"], np.asarray(tree["w"]))
+
+
+def test_snapshot_tree_wedged_d2h_falls_back(monkeypatch):
+    """A wedged d2h (remote-transport request drop) must not hang the
+    trainer: a single hang recovers via the fresh-copy retry; when both
+    attempts hang, the donation-safe device copies become the snapshot and
+    the run proceeds (the wedge has been observed to clear; a truly dead
+    channel is the external train_watchdog.sh supervisor's job)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from hpvaegan_tpu.utils import saver
+
+    tree = {"w": jnp.ones((4,))}
+    real = saver.tree_to_numpy
+    calls = {"n": 0}
+
+    def sometimes_wedged(t):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            time.sleep(3)  # longer than the timeout: simulated wedge
+        return real(t)
+
+    monkeypatch.setattr(saver, "tree_to_numpy", sometimes_wedged)
+    snap, kind = saver.snapshot_tree(tree, timeout_s=0.5, retry_timeout_s=0.5)
+    assert kind == "host-retry"
+    np.testing.assert_array_equal(snap["w"], np.ones((4,)))
+
+    def always_wedged(t):
+        time.sleep(3)
+        return real(t)
+
+    # both attempts wedged -> donation-safe device copies become the
+    # snapshot; the run proceeds (the external supervisor is the net)
+    monkeypatch.setattr(saver, "tree_to_numpy", always_wedged)
+    snap, kind = saver.snapshot_tree(tree, timeout_s=0.5, retry_timeout_s=0.5)
+    assert kind == "device"
+    assert snap["w"] is not tree["w"]  # fresh buffer: survives donation
+    np.testing.assert_array_equal(np.asarray(jnp.asarray(snap["w"])),
+                                  np.ones((4,)))
+    time.sleep(3.2)  # let the daemon workers drain before pytest exits
