@@ -262,7 +262,10 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=64)
-    p.add_argument("--compute-dtype", default="float32")
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   help="default bfloat16: qualified vs f32 on the full "
+                   "reference workload (round-3 A/B in docs/PERF.md — "
+                   "SIFID delta 27x below the seed-to-seed noise floor)")
     p.add_argument("--all-scales", action="store_true",
                    help="also report a per-scale table to stderr")
     p.add_argument("--sampling", action="store_true",
@@ -276,8 +279,10 @@ def main():
                    default=None, metavar="KEY=VALUE",
                    help="extra XLA compiler option for the train chunk "
                    "(repeatable)")
-    p.add_argument("--fused-dg", action="store_true",
-                   help="fused D+G chunk (shared fake forward)")
+    p.add_argument("--fused-dg", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="fused D+G chunk (shared fake forward); default on "
+                   "since the round-3 quality A/B (docs/PERF.md)")
     p.add_argument("--headline-only", action="store_true",
                    help="skip the sampling/video rows (faster; the default "
                    "run reports all BASELINE.md rows)")
@@ -330,9 +335,12 @@ def main():
             log(f"sampling bench failed: {e!r}")
             result["sampling_images_per_sec"] = None
         try:
-            vsps = bench_video_scale(compute_dtype=args.compute_dtype)
+            vsps = bench_video_scale(compute_dtype=args.compute_dtype,
+                                     fused_dg=args.fused_dg)
             log(f"video train step (finest 128px scale, td 13, "
-                f"{args.compute_dtype}): {vsps:.2f} steps/s")
+                f"{args.compute_dtype}"
+                f"{'+fused-dg' if args.fused_dg else ''}): "
+                f"{vsps:.2f} steps/s")
             result["video_steps_per_sec"] = round(vsps, 3)
         except Exception as e:
             log(f"video bench failed: {e!r}")
