@@ -55,11 +55,12 @@ CATEGORIES = (
     ("convolution", ("convolution", "conv")),
     ("collective", ("all-reduce", "all-gather", "reduce-scatter",
                     "collective", "psum")),
+    ("async-copy (DMA)", ("copy-start", "copy-done")),
     ("copy/transpose", ("copy", "transpose", "bitcast")),
     ("dynamic-slice/update", ("dynamic-slice", "dynamic_update",
                               "dynamic-update")),
     ("rng", ("rng",)),
-    ("reduce", ("reduce",)),
+    ("reduce fusion", ("reduce",)),
     ("fusion/elementwise", ("fusion", "loop_", "input_", "output_",
                             "scatter", "select", "broadcast", "add",
                             "multiply", "subtract", "divide")),
@@ -67,7 +68,10 @@ CATEGORIES = (
 
 
 def categorize(name: str) -> str:
-    n = name.lower()
+    # categorize by the INSTRUCTION name only ("%op.123 = ..."), never the
+    # full HLO text — operand lists mention producer names ("fusion(...
+    # %copy.4 ...)") and misattribute fusions to the copy bucket.
+    n = name.split(" = ")[0].lower().lstrip("%")
     for cat, keys in CATEGORIES:
         if any(k in n for k in keys):
             return cat
@@ -113,12 +117,30 @@ def analyze(path: str, top: int = 25):
                     cur_s, cur_e = o, o + d
             busy += cur_e - cur_s
 
+            # SELF time: events nest (while/fusion wrappers span their
+            # bodies) — naive duration sums double-count, so subtract each
+            # event's direct children. evs is offset-sorted; ties put the
+            # longer (outer) event first.
+            evs_nest = sorted(((o, -d, name) for o, d, name in evs))
             per_cat = collections.Counter()
+            per_cat_n = collections.Counter()
             per_op = collections.Counter()
             n_ev = 0
-            for o, d, name in evs:
-                per_cat[categorize(name)] += d
-                per_op[name] += d
+            stack = []  # (end_ps, self_ps_accum_index)
+            selfs = []
+            for o, nd, name in evs_nest:
+                d = -nd
+                while stack and stack[-1][0] <= o:
+                    stack.pop()
+                if stack:
+                    selfs[stack[-1][1]][1] -= d  # child time off the parent
+                selfs.append([name, d])
+                stack.append((o + d, len(selfs) - 1))
+            for name, s in selfs:
+                s = max(s, 0)
+                per_cat[categorize(name)] += s
+                per_cat_n[categorize(name)] += 1
+                per_op[name] += s
                 n_ev += 1
             print(f"\n-- line: {line.name!r}  events={n_ev}  "
                   f"span={span/1e9:.3f} ms  busy={busy/1e9:.3f} ms "
@@ -126,8 +148,10 @@ def analyze(path: str, top: int = 25):
                   f"idle-gaps={(span-busy)/1e9:.3f} ms")
             total_cat = sum(per_cat.values())
             for cat, d in per_cat.most_common():
+                n = per_cat_n[cat]
                 print(f"   {cat:24s} {d/1e9:9.3f} ms  "
-                      f"{100*d/max(total_cat,1):5.1f}%")
+                      f"{100*d/max(total_cat,1):5.1f}%  "
+                      f"({n} evs, avg {d/max(n,1)/1e6:.1f} us)")
             biggest = sorted(gaps, key=lambda g: -g[1])[:5]
             if biggest:
                 print("   largest gaps (ms):",
