@@ -1,0 +1,116 @@
+"""Tests for the perf/soak analysis tooling (scripts/).
+
+The xplane self-time sweep and the logbook parser are pure logic with
+subtle failure modes (nested-event double counting; operand-text
+miscategorization — both produced wrong round-2 conclusions before being
+fixed in round 3), so they get real tests.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+
+def test_categorize_uses_instruction_name_only():
+    from analyze_xplane import categorize
+    # a fusion whose OPERANDS mention %copy must not land in the copy bucket
+    assert categorize(
+        "%select_reduce_fusion.1 = f32[64] fusion(f32[8] %copy.4350)"
+    ) == "reduce fusion"
+    assert categorize("%copy.4350 = f32[8] copy(f32[8] %p0)") \
+        == "copy/transpose"
+    assert categorize("%copy-start.11 = (f32[8], u32[]) copy-start(...)") \
+        == "async-copy (DMA)"
+    assert categorize("%convolution.7 = f32[8] convolution(...)") \
+        == "convolution"
+    assert categorize("%while.7 = (s32[]) while(...)") == "other"
+
+
+def _self_times(events):
+    """Run analyze_xplane's self-time sweep on (offset, dur, name) tuples."""
+    evs_nest = sorted(((o, -d, name) for o, d, name in events))
+    stack, selfs = [], []
+    for o, nd, name in evs_nest:
+        d = -nd
+        while stack and stack[-1][0] <= o:
+            stack.pop()
+        if stack:
+            selfs[stack[-1][1]][1] -= d
+        selfs.append([name, d])
+        stack.append((o + d, len(selfs) - 1))
+    return {n: max(s, 0) for n, s in selfs}
+
+
+def test_self_time_subtracts_nested_children():
+    # while [0,100) wraps two fusions; fusion_a wraps a sub-op
+    st = _self_times([
+        (0, 100, "while"),
+        (10, 30, "fusion_a"),
+        (15, 10, "sub"),
+        (50, 20, "fusion_b"),
+    ])
+    assert st["while"] == 100 - 30 - 20
+    assert st["fusion_a"] == 30 - 10
+    assert st["sub"] == 10
+    assert st["fusion_b"] == 20
+    # total self time == outermost span (no double counting)
+    assert sum(st.values()) == 100
+
+
+def test_self_time_sequential_events_keep_full_duration():
+    st = _self_times([(0, 5, "a"), (5, 5, "b"), (12, 3, "c")])
+    assert st == {"a": 5, "b": 5, "c": 3}
+
+
+def test_soak_analyzer_reports_sustained_rate(tmp_path):
+    log = tmp_path / "logbook.txt"
+    lines = []
+    # 4 intervals of 500 iters at exactly 100 s each => 5 it/s, one
+    # restart boundary (iter resets) that must be skipped, finite metrics
+    stamps = ["12:00:00", "12:01:40", "12:03:20", "12:05:00", "12:06:40"]
+    iters = [500, 1000, 1500, 2000, 2500]
+    for t, i in zip(stamps, iters):
+        lines.append(f"2026-01-01 {t} [Scale 9/Iter {i}] Noise amp: 0.01, "
+                     f"g_loss: 0.5, d_loss: -0.1")
+    log.write_text("\n".join(lines) + "\n")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "analyze_soak.py"),
+         str(log)], capture_output=True, text=True, check=True).stdout
+    assert "scale 9" in out
+    assert "0 intervals with non-finite metrics" in out
+    # sustained rate = 2000 iters / 400 s = 5.0 it/s
+    assert "sustained 5.0" in out
+
+
+def test_soak_analyzer_skips_restart_boundary(tmp_path):
+    # a watchdog restart resets the iter counter; the decreasing pair must
+    # be excluded from the interval-rate series (not produce a negative or
+    # inflated rate)
+    log = tmp_path / "logbook.txt"
+    log.write_text(textwrap.dedent("""\
+        2026-01-01 12:00:00 [Scale 9/Iter 500] g_loss: 0.5
+        2026-01-01 12:01:40 [Scale 9/Iter 1000] g_loss: 0.5
+        2026-01-01 12:10:00 [Scale 9/Iter 500] g_loss: 0.5
+        2026-01-01 12:11:40 [Scale 9/Iter 1000] g_loss: 0.5
+        """))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "analyze_soak.py"),
+         str(log)], capture_output=True, text=True, check=True).stdout
+    # both valid intervals run at 5 it/s; the restart pair is dropped
+    assert "min 5.000 max 5.000" in out
+
+
+def test_soak_analyzer_flags_nonfinite(tmp_path):
+    log = tmp_path / "logbook.txt"
+    log.write_text(textwrap.dedent("""\
+        2026-01-01 12:00:00 [Scale 9/Iter 500] g_loss: 0.5
+        2026-01-01 12:01:40 [Scale 9/Iter 1000] g_loss: nan
+        """))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "analyze_soak.py"),
+         str(log)], capture_output=True, text=True, check=True).stdout
+    assert "1 intervals with non-finite metrics" in out
