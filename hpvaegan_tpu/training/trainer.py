@@ -285,10 +285,12 @@ def run_scale_with_retry(train_fn, cfg, g_params, g_state, key,
     # host snapshot of the scale's ENTRY state: the failed attempt may have
     # consumed donated device buffers, and checkpoint files may live in a
     # different directory on resumed runs — the snapshot is directory-free.
-    # Watchdog-guarded: a dropped d2h on the remote-TPU tunnel would
-    # otherwise block here forever; a double timeout means the process's
-    # transport session is dead and TransportWedgedError aborts the run for
-    # a supervisor restart (observed round 3; scripts/train_watchdog.sh).
+    # Deadline-guarded: a dropped d2h on the remote-TPU tunnel can block
+    # the readback forever; on timeout snapshot_tree retries via fresh
+    # device copies (new RPCs), and if those hang too it KEEPS the
+    # donation-safe device copies so the run proceeds (the wedge has been
+    # observed to clear; scripts/train_watchdog.sh is the external net for
+    # a truly dead channel).
     entry, snap_kind = snapshot_tree({"params": g_params, "state": g_state,
                                       "key": key})
     if snap_kind != "host":
@@ -306,12 +308,16 @@ def run_scale_with_retry(train_fn, cfg, g_params, g_state, key,
                             "scale entry snapshot", scale_idx,
                             type(e).__name__, str(e)[:200], attempt + 1,
                             retries)
-            g_params = jax.tree_util.tree_map(jnp.asarray, entry["params"])
-            g_state = jax.tree_util.tree_map(jnp.asarray, entry["state"])
+            # jnp.copy, NOT asarray: with a device-kind snapshot asarray is
+            # a no-op and the retried chunk (donate_argnums) would consume
+            # the snapshot buffers themselves — a second failure would then
+            # find them deleted, killing the run this path exists to save
+            g_params = jax.tree_util.tree_map(jnp.copy, entry["params"])
+            g_state = jax.tree_util.tree_map(jnp.copy, entry["state"])
             # restore the scale-entry RNG key so a retried run stays
             # reproducible from its seed (the failed attempt's draws are
             # discarded along with its params)
-            key = jnp.asarray(entry["key"])
+            key = jnp.copy(entry["key"])
 
 
 def _train_scale_with_retry(cfg, g_params, g_state, dataset, saver,

@@ -43,8 +43,9 @@ def snapshot_tree(tree, timeout_s: float = 120.0, retry_timeout_s: float = 60.0)
       3. If that also times out, KEEP the device-side copies as the
          snapshot and let the run proceed: the wedge has been observed to
          clear, and a completed run beats a restart. The copies are
-         donation-safe (fresh buffers) and the retry path's jnp.asarray
-         restore accepts either form. If the channel is truly dead, the
+         donation-safe (fresh buffers) and the retry path's jnp.copy
+         restore accepts either form (copy, not asarray: asarray would
+         hand the snapshot buffers themselves to a donating chunk). If the channel is truly dead, the
          next metrics readback hangs the run and the external supervisor
          (scripts/train_watchdog.sh) restarts from the newest checkpoint —
          that is the net, not this function.
@@ -147,8 +148,14 @@ class DataSaver:
 
     # --- json ---
     def save_json(self, obj: Dict[str, Any], filename: str) -> None:
-        with open(os.path.join(self.experiment_dir, filename), "w") as f:
+        # atomic (tmp + rename): the watchdog's SIGKILL may land mid-write,
+        # and a truncated intermediate.json would make its resume probe
+        # silently restart training from scratch
+        dst = os.path.join(self.experiment_dir, filename)
+        tmp = dst + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(obj, f)
+        os.replace(tmp, dst)
 
     def load_json(self, filename: str, path: Optional[str] = None):
         path = path or self.experiment_dir

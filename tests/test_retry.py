@@ -74,6 +74,42 @@ def test_snapshot_tree_host_normal():
     np.testing.assert_array_equal(snap["w"], np.asarray(tree["w"]))
 
 
+def test_retry_restore_survives_donation_with_device_snapshot(monkeypatch):
+    """With a device-kind snapshot the restore must hand the chunk COPIES:
+    a donating chunk deletes its input buffers, so an asarray (no-op)
+    restore would let a second failure find the snapshot itself deleted —
+    killing the run the retry path exists to save."""
+    import types
+
+    import jax
+    import jax.errors
+    import jax.numpy as jnp
+
+    from hpvaegan_tpu.utils import saver
+
+    monkeypatch.setattr(
+        saver, "snapshot_tree",
+        lambda tree, **kw: (jax.tree_util.tree_map(jnp.copy, tree), "device"))
+
+    cfg = types.SimpleNamespace(scale_idx=0)
+    attempts = {"n": 0}
+
+    def train_fn(gp, gs, k, split):
+        attempts["n"] += 1
+        if attempts["n"] <= 2:
+            # simulate donate_argnums: the failed chunk consumed its inputs
+            for leaf in jax.tree_util.tree_leaves((gp, gs, k)):
+                leaf.delete()
+            raise jax.errors.JaxRuntimeError("INTERNAL: simulated")
+        return np.asarray(gp["w"]).copy()
+
+    out = trainer_mod.run_scale_with_retry(
+        train_fn, cfg, {"w": jnp.ones((3,))}, {"s": jnp.zeros((2,))},
+        jax.random.PRNGKey(0), retries=2)
+    assert attempts["n"] == 3
+    np.testing.assert_array_equal(out, np.ones((3,)))
+
+
 def test_snapshot_tree_wedged_d2h_falls_back(monkeypatch):
     """A wedged d2h (remote-transport request drop) must not hang the
     trainer: a single hang recovers via the fresh-copy retry; when both
