@@ -44,4 +44,32 @@ def _enable_persistent_compilation_cache():
         pass
 
 
+def _honor_platform_request():
+    """Make `JAX_PLATFORMS=cpu <cli>` actually mean CPU. This environment's
+    sitecustomize registers the 'axon' TPU plugin at interpreter start and
+    sets jax.config.jax_platforms = "axon,cpu" — and jax CONFIG beats the
+    ENV VAR, so `JAX_PLATFORMS=cpu <cli>` silently lands on the TPU
+    (observed: the "CPU" run then contends with a live TPU training run
+    through the shared tunnel). Re-assert the env request into the config;
+    if a non-matching backend was already initialized, clear and re-resolve
+    (same move as tests/conftest.py)."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if not want:
+        return
+    try:
+        import jax
+        from jax._src import xla_bridge
+
+        if jax.config.jax_platforms != want:
+            jax.config.update("jax_platforms", want)
+            if xla_bridge._backends and \
+                    not set(xla_bridge._backends) & set(want.split(",")):
+                xla_bridge._clear_backends()
+    except Exception:  # pragma: no cover - private API, best-effort
+        pass
+
+
 _enable_persistent_compilation_cache()
+_honor_platform_request()

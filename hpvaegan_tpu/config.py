@@ -118,6 +118,14 @@ class Config:
     #                         train chunk (PJRT CompileOptions env overrides;
     #                         reaches the remote TPU compiler where XLA_FLAGS
     #                         cannot). CLI: --xla-option key=value (repeat)
+    ckpt_interval: int = 0  # mid-scale checkpoint cadence in iterations
+    #                         (0 = scale-end only, the reference cadence:
+    #                         train_image.py:206-210). At reference-scale
+    #                         iteration counts (50k/scale) a supervisor
+    #                         restart would otherwise lose hours — the
+    #                         inflight_<k>.ckpt carries the FULL train state
+    #                         (G+D params/state, both optimizer states, RNG)
+    #                         so a resumed run continues bit-exactly.
     mesh_data: int = 1  # data-parallel mesh axis size (batched sampling/training)
     mesh_sp: int = 1  # spatial mesh axis size (H sharded when divisible; XLA
     #                   SPMD inserts the conv halo exchanges over ICI)

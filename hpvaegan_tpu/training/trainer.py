@@ -53,7 +53,7 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
                 noise_amps: List[float], key, ndim: int,
                 resumed_idx: int = -1, resume_dir: str = "",
                 step_callback=None, split_steps: bool = False,
-                prebuilt=None, precompiler=None):
+                prebuilt=None, precompiler=None, inflight=None):
     """Train one pyramid scale. Returns (g_params, g_state, noise_amps, key).
 
     prebuilt: optional pipeline.ProgramBundle with this scale's programs
@@ -61,7 +61,12 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
     precompiler: when set, the NEXT scale's background compile is kicked off
     right after THIS scale's first chunk finishes compiling — starting it
     earlier contends with this scale's own compile in the (serialized)
-    remote-compile helper and stalls the scale."""
+    remote-compile helper and stalls the scale.
+    inflight: optional mid-scale resume payload {"state": ScaleTrainState,
+    "key": outer PRNG key, "iter": chunk-boundary iteration} from an
+    inflight_<k>.ckpt (--ckpt-interval). Skips D init, optimizer init, and
+    amp calibration — the checkpoint carries all of it — and continues the
+    scale bit-exactly from the saved iteration."""
     scale_idx = cfg.scale_idx
     if prebuilt is not None and (split_steps or prebuilt.scale_idx != scale_idx):
         prebuilt = None
@@ -70,19 +75,21 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
     d_init, d_apply = models.get_discriminator(cfg.discriminator, ndim)
 
     # --- fresh discriminator, warm-started at GAN scales (train_image.py:29-39)
-    key, kd = jax.random.split(key)
-    d_params, d_state = d_init(cfg, kd)
-    if not vae_phase:
-        try:
-            if resumed_idx == scale_idx and resume_dir:
-                ckpt = saver.load_checkpoint(f"netD_{scale_idx - 1}.ckpt",
-                                             path=resume_dir)
-                d_params, d_state = ckpt["params"], ckpt["state"]
-            elif cfg.vae_levels < scale_idx:
-                ckpt = saver.load_checkpoint(f"netD_{scale_idx - 1}.ckpt")
-                d_params, d_state = ckpt["params"], ckpt["state"]
-        except FileNotFoundError:
-            logging.warning("no previous netD checkpoint to warm-start from")
+    d_params = d_state = None
+    if inflight is None:
+        key, kd = jax.random.split(key)
+        d_params, d_state = d_init(cfg, kd)
+        if not vae_phase:
+            try:
+                if resumed_idx == scale_idx and resume_dir:
+                    ckpt = saver.load_checkpoint(f"netD_{scale_idx - 1}.ckpt",
+                                                 path=resume_dir)
+                    d_params, d_state = ckpt["params"], ckpt["state"]
+                elif cfg.vae_levels < scale_idx:
+                    ckpt = saver.load_checkpoint(f"netD_{scale_idx - 1}.ckpt")
+                    d_params, d_state = ckpt["params"], ckpt["state"]
+            except FileNotFoundError:
+                logging.warning("no previous netD checkpoint to warm-start from")
 
     # --- optimizers (train_image.py:42-91); with a prebuilt bundle the
     # optimizer OBJECTS must be the ones the compiled chunk closed over
@@ -94,9 +101,11 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
             split_params(g_params, plan)[0], plan), cfg.beta1,
             grad_clip=cfg.grad_clip, flat=cfg.flat_opt)
         opt_d = adam(cfg.lr_d, cfg.beta1, flat=cfg.flat_opt)
-    trainable, _ = split_params(g_params, plan)
-    opt_g_state = opt_g.init(trainable)
-    opt_d_state = opt_d.init(d_params)
+    opt_g_state = opt_d_state = None
+    if inflight is None:
+        trainable, _ = split_params(g_params, plan)
+        opt_g_state = opt_g.init(trainable)
+        opt_d_state = opt_d.init(d_params)
 
     # --- jitted programs for this scale
     calib = make_calibration(cfg, g_apply)
@@ -153,15 +162,26 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
                                          plan, vae_phase, batch_body, rem,
                                          mesh=mesh, g_pair=g_pair)
 
-    key, ks = jax.random.split(key)
-    state = ScaleTrainState(g_params, g_state, d_params, d_state,
-                            opt_g_state, opt_d_state, ks)
+    if inflight is None:
+        key, ks = jax.random.split(key)
+        state = ScaleTrainState(g_params, g_state, d_params, d_state,
+                                opt_g_state, opt_d_state, ks)
+    else:
+        # mid-scale resume: the inflight checkpoint IS the full train state
+        # at a chunk boundary; restoring it plus the outer key continues
+        # the scale bit-exactly (tests/test_resume.py)
+        state = jax.tree_util.tree_map(jnp.asarray, inflight["state"])
+        key = jnp.asarray(inflight["key"])
     if mesh is not None:
         from ..parallel.mesh import replicate_sharding
         state = jax.device_put(state, replicate_sharding(mesh))
 
     # --- noise-amp calibration (train_image.py:134-148): one host sync/scale
-    if cfg.const_amp:
+    if inflight is not None:
+        # the resumed scale's amp was calibrated before the inflight save
+        # and travels in intermediate.json; recalibrating would re-draw
+        assert len(noise_amps) == scale_idx + 1, (len(noise_amps), scale_idx)
+    elif cfg.const_amp:
         noise_amps.append(1.0)
     elif scale_idx == 0:
         noise_amps.append(1.0)
@@ -174,8 +194,9 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
         noise_amps[-1] = cfg.noise_amp_init * float(rmse) / cfg.batch_size
     amps = _amps_array(noise_amps, cfg.stop_scale)
 
+    start_iter = int(inflight["iter"]) if inflight is not None else 0
     bar = create_progressbar(
-        total=cfg.niter,
+        total=cfg.niter, initial=start_iter,
         desc="Training scale [{}/{}]".format(scale_idx + 1, cfg.stop_scale + 1))
 
     # visualization programs are built ONCE per scale (a fresh jit closure
@@ -185,7 +206,7 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
         viz = (make_recon(cfg, g_apply), make_sampler(cfg, g_apply, train=True))
 
     metrics = {}
-    for iteration in range(0, cfg.niter, spc):
+    for iteration in range(start_iter, cfg.niter, spc):
         if split_steps:
             key, kb = jax.random.split(key)
             real, real_zero, noise_init = batch_fn(data_scale, data_zero, kb)
@@ -197,7 +218,7 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
         else:
             this_chunk = chunk if iteration + spc <= cfg.niter else chunk_rem
             state, metrics = this_chunk(state, data_scale, data_zero, amps)
-        if iteration == 0 and precompiler is not None:
+        if iteration == start_iter and precompiler is not None:
             # this scale's programs are compiled now — overlap the rest of
             # its training with the next scale's compile
             precompiler.start(cfg, state.g_params, state.g_state, dataset,
@@ -219,6 +240,20 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
                 scale_idx + 1, done, noise_amps[-1],
                 ", ".join(f"{k}: {v:.5f}" for k, v in sorted(vals.items()))))
 
+        # mid-scale checkpoint (--ckpt-interval): FULL train state at a
+        # chunk boundary, so a supervisor restart continues bit-exactly
+        # instead of losing the scale. Ckpt first, then the intermediate
+        # marker referencing it (save_json is atomic): a kill between the
+        # two leaves the previous consistent pair.
+        if (cfg.ckpt_interval and done < cfg.niter and done % spc == 0
+                and done % cfg.ckpt_interval < spc):
+            saver.save_checkpoint({"state": state, "key": key, "iter": done},
+                                  f"inflight_{scale_idx}.ckpt")
+            saver.save_json({"noise_amps": noise_amps,
+                             "scale_idx": scale_idx,
+                             "inflight": f"inflight_{scale_idx}.ckpt",
+                             "inflight_iter": done}, "intermediate.json")
+
         if viz is not None and done % cfg.image_interval < spc:
             key, kb, kv = jax.random.split(key, 3)
             real, real_zero, noise_init = batch_fn(data_scale, data_zero, kb)
@@ -230,9 +265,16 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
 
     bar.close()
 
-    # --- save (train_image.py:206-210)
+    # --- save (train_image.py:206-210); the scale-end intermediate.json
+    # drops the inflight marker, and the stale inflight ckpt is removed so
+    # no resume can land inside a completed scale
     saver.save_json({"noise_amps": noise_amps, "scale_idx": scale_idx},
                     "intermediate.json")
+    import os as _os
+    _inflight = _os.path.join(saver.experiment_dir,
+                              f"inflight_{scale_idx}.ckpt")
+    if _os.path.exists(_inflight):
+        _os.remove(_inflight)
     saver.save_checkpoint({"params": state.g_params, "state": state.g_state},
                           f"netG_{scale_idx}.ckpt")
     if not vae_phase:
@@ -323,7 +365,7 @@ def run_scale_with_retry(train_fn, cfg, g_params, g_state, key,
 def _train_scale_with_retry(cfg, g_params, g_state, dataset, saver,
                             noise_amps, key, ndim, resumed_idx, resume_dir,
                             step_callback, retries: int = 2, prebuilt=None,
-                            precompiler=None):
+                            precompiler=None, inflight=None):
     amps_in = list(noise_amps)
 
     def train_fn(gp, gs, k, split_steps):
@@ -332,7 +374,7 @@ def _train_scale_with_retry(cfg, g_params, g_state, dataset, saver,
                            ndim, resumed_idx, resume_dir, step_callback,
                            split_steps=split_steps,
                            prebuilt=None if split_steps else prebuilt,
-                           precompiler=precompiler)
+                           precompiler=precompiler, inflight=inflight)
 
     return run_scale_with_retry(train_fn, cfg, g_params, g_state, key,
                                 retries=retries)
@@ -373,6 +415,7 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
     noise_amps: List[float] = []
     cfg.scale_idx = 0
     resumed_idx, resume_dir = -1, ""
+    inflight_payload = None
 
     # --- resume (train_image.py:361-379)
     if cfg.netG:
@@ -384,16 +427,30 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
         noise_amps = list(inter["noise_amps"])
         cfg.scale_idx = resumed_idx = int(inter["scale_idx"])
         resume_dir = os.path.dirname(cfg.netG)
-        # the checkpointed pytree already carries the grown body (no need to
-        # replay init_next_stage like the reference's flat-name load,
-        # train_image.py:377-379)
         from ..utils.saver import load_pytree
         ckpt = load_pytree(cfg.netG)
-        g_params, g_state = ckpt["params"], ckpt["state"]
-        assert len(g_params["body"]) == cfg.scale_idx, \
-            (len(g_params["body"]), cfg.scale_idx)
-        # the saved amps list already includes the resumed scale; retrain it
-        noise_amps = noise_amps[:cfg.scale_idx]
+        if inter.get("inflight") \
+                and os.path.basename(cfg.netG) == inter["inflight"]:
+            # mid-scale resume (--ckpt-interval): the inflight ckpt carries
+            # the FULL train state; the ckpt's own iter is authoritative (a
+            # kill between the ckpt and intermediate writes leaves the
+            # previous consistent marker pointing at the same file)
+            inflight_payload = {"state": ckpt["state"], "key": ckpt["key"],
+                                "iter": int(ckpt["iter"])}
+            g_params = ckpt["state"].g_params
+            g_state = ckpt["state"].g_state
+            assert len(noise_amps) == cfg.scale_idx + 1, \
+                (len(noise_amps), cfg.scale_idx)
+        else:
+            # the checkpointed pytree already carries the grown body (no
+            # need to replay init_next_stage like the reference's flat-name
+            # load, train_image.py:377-379)
+            g_params, g_state = ckpt["params"], ckpt["state"]
+            assert len(g_params["body"]) == cfg.scale_idx, \
+                (len(g_params["body"]), cfg.scale_idx)
+            # the saved amps list already includes the resumed scale;
+            # retrain it
+            noise_amps = noise_amps[:cfg.scale_idx]
 
     pre = None
     if getattr(cfg, "compile_ahead", False) \
@@ -422,7 +479,8 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
         g_params, g_state, noise_amps, key = _train_scale_with_retry(
             cfg, g_params, g_state, dataset, saver, noise_amps, key, ndim,
             resumed_idx, resume_dir, step_callback, prebuilt=prebuilt,
-            precompiler=pre)
+            precompiler=pre, inflight=inflight_payload)
+        inflight_payload = None
         logging.info("scale %d done in %.1fs (%.2f it/s)", cfg.scale_idx,
                      time.time() - t0, cfg.niter / max(time.time() - t0, 1e-9))
         cfg.scale_idx += 1

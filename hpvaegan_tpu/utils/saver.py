@@ -82,8 +82,15 @@ def snapshot_tree(tree, timeout_s: float = 120.0, retry_timeout_s: float = 60.0)
 
 
 def save_pytree(tree, filename: str) -> None:
-    with open(filename, "wb") as f:
+    # atomic (tmp + rename): checkpoints are overwritten in place (inflight
+    # saves every --ckpt-interval iters), and a supervisor SIGKILL mid-write
+    # would otherwise destroy the previous good checkpoint that the
+    # intermediate.json marker still references (observed: a kill landed
+    # mid-pickle and left a 0-byte ckpt)
+    tmp = filename + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(tree_to_numpy(tree), f)
+    os.replace(tmp, filename)
 
 
 def load_pytree(filename: str):

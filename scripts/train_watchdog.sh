@@ -30,8 +30,15 @@ while :; do
     inter=$(ls -t "$run_dir"/*/*/experiment_*/intermediate.json 2>/dev/null | head -1)
     if [ -n "${inter:-}" ]; then
         exp_dir=$(dirname "$inter")
-        idx=$(python3 -c "import json,sys;print(json.load(open(sys.argv[1]))['scale_idx'])" "$inter")
-        ckpt="$exp_dir/netG_$idx.ckpt"
+        # prefer a mid-scale inflight checkpoint (--ckpt-interval): resuming
+        # from it continues the scale bit-exactly instead of retraining it
+        read -r idx inf <<< "$(python3 -c "import json,sys
+d=json.load(open(sys.argv[1])); print(d['scale_idx'], d.get('inflight',''))" "$inter")"
+        if [ -n "${inf:-}" ] && [ -f "$exp_dir/$inf" ]; then
+            ckpt="$exp_dir/$inf"
+        else
+            ckpt="$exp_dir/netG_$idx.ckpt"
+        fi
         [ -f "$ckpt" ] && resume=(--netG "$ckpt" --intermediate "$inter")
     fi
     "$@" "${resume[@]}" &

@@ -22,6 +22,60 @@ def _cfg(run_dir, **kw):
     return Config(**base).finalize()
 
 
+def test_inflight_midscale_resume_exact(tmp_path):
+    """--ckpt-interval: a run killed mid-scale resumes from the inflight
+    full-state checkpoint (G+D params/state, optimizer states, RNG) and
+    finishes BIT-EXACTLY equal to an uninterrupted same-seed run — the
+    scale-end-only cadence would instead retrain the whole scale."""
+    import jax
+    import numpy as np
+
+    kw = dict(niter=6, steps_per_call=2, ckpt_interval=2,
+              compile_ahead=False)
+    cfg_a = _cfg(str(tmp_path / "a"), **kw)
+    g_a, _, amps_a, _ = run_training(cfg_a, mode="image", seed=1)
+
+    class Boom(Exception):
+        pass
+
+    cfg_b = _cfg(str(tmp_path / "b"), **kw)
+    last = cfg_b.stop_scale
+
+    def cb(done, state, metrics):
+        if cfg_b.scale_idx == last and done == 4:
+            raise Boom()  # kill mid-scale, after the iter-4 inflight save
+
+    try:
+        run_training(cfg_b, mode="image", seed=1, step_callback=cb)
+        assert False, "expected the simulated kill"
+    except Boom:
+        pass
+    exp_b = cfg_b.saver.experiment_dir
+    with open(os.path.join(exp_b, "intermediate.json")) as f:
+        inter = json.load(f)
+    assert inter["inflight"] == f"inflight_{last}.ckpt"
+    assert inter["inflight_iter"] == 4
+    assert len(inter["noise_amps"]) == last + 1
+
+    cfg_c = _cfg(str(tmp_path / "c"), **kw)
+    cfg_c.netG = os.path.join(exp_b, inter["inflight"])
+    cfg_c.intermediate = os.path.join(exp_b, "intermediate.json")
+    g_c, _, amps_c, saver_c = run_training(cfg_c, mode="image", seed=1)
+
+    assert amps_a == amps_c
+    la, lc = (jax.tree_util.tree_leaves(t) for t in (g_a, g_c))
+    assert len(la) == len(lc)
+    for a, c in zip(la, lc):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    # the completed resumed scale cleared its inflight checkpoint and
+    # the final intermediate.json dropped the marker
+    assert not os.path.exists(os.path.join(saver_c.experiment_dir,
+                                           f"inflight_{last}.ckpt"))
+    with open(os.path.join(saver_c.experiment_dir,
+                           "intermediate.json")) as f:
+        assert "inflight" not in json.load(f)
+
+
 def test_resume_from_mid_run(tmp_path):
     cfg = _cfg(str(tmp_path / "a"))
     g_params, _, amps, saver = run_training(cfg, mode="image", seed=1)

@@ -121,6 +121,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--fused-dg', action='store_true', default=False,
                         help='share one fake forward between D and G losses (~10%% faster; '
                              'deviates from per-step fresh fake noise)')
+    parser.add_argument('--ckpt-interval', type=int, default=0,
+                        help='mid-scale checkpoint cadence in iterations '
+                             '(0 = scale-end only). Saves the full train '
+                             'state (G+D, optimizers, RNG) so a supervisor '
+                             'restart resumes bit-exactly mid-scale instead '
+                             'of losing the whole scale')
     parser.add_argument('--bug-compat', action='store_true', default=False,
                         help='replicate reference bugs (frozen GP alpha, severed adv G grad)')
     parser.add_argument('--run-dir', type=str, default='run', help='experiment root dir')
