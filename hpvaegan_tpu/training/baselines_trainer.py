@@ -87,17 +87,33 @@ def make_baseline_batch_body(cfg, scale_idx: int, z_tail):
 def _train_baseline_scale(cfg, g_apply, d_apply, d_init, dataset, saver,
                           noise_amps: List[float], z_init, g_params, g_state,
                           key, step_callback=None, split_steps: bool = False,
-                          mesh=None):
-    """One baseline scale; returns (g_params, g_state, noise_amps, key)."""
+                          mesh=None, resumed_idx: int = -1,
+                          resume_dir: str = "", inflight=None):
+    """One baseline scale; returns (g_params, g_state, noise_amps, key).
+
+    inflight: optional mid-scale resume payload (--ckpt-interval), same
+    contract as trainer.train_scale — skips D init, optimizer init, and
+    amp calibration, continuing bit-exactly from the saved iteration."""
     scale_idx = cfg.scale_idx
 
     # fresh D, warm-started from the previous scale (baselines warm-start
-    # at EVERY scale > 0, train_video_baselines.py:51-54)
-    key, kd = jax.random.split(key)
-    d_params, d_state = d_init(cfg, kd)
-    if scale_idx > 0:
-        ckpt = saver.load_checkpoint(f"netD_{scale_idx - 1}.ckpt")
-        d_params, d_state = ckpt["params"], ckpt["state"]
+    # at EVERY scale > 0, train_video_baselines.py:51-54); on a resumed run
+    # the previous scale's netD lives in the ORIGINAL experiment dir
+    # (reference: opt.resume_dir, train_video_baselines.py:53)
+    d_params = d_state = None
+    if inflight is None:
+        key, kd = jax.random.split(key)
+        d_params, d_state = d_init(cfg, kd)
+        if scale_idx > 0:
+            try:
+                path = resume_dir if (resumed_idx == scale_idx
+                                      and resume_dir) else None
+                ckpt = saver.load_checkpoint(f"netD_{scale_idx - 1}.ckpt",
+                                             path=path)
+                d_params, d_state = ckpt["params"], ckpt["state"]
+            except FileNotFoundError:
+                logging.warning("no previous netD checkpoint to warm-start "
+                                "from")
 
     plan = make_baseline_lr_plan(cfg, scale_idx, len(g_params["body"]),
                                  has_head="head" in g_params,
@@ -131,16 +147,23 @@ def _train_baseline_scale(cfg, g_apply, d_apply, d_init, dataset, saver,
                                          plan, False, batch_body, rem,
                                          mesh=mesh)
 
-    key, ks = jax.random.split(key)
-    state = ScaleTrainState(g_params, g_state, d_params, d_state,
-                            opt_g.init(trainable), opt_d.init(d_params), ks)
+    if inflight is None:
+        key, ks = jax.random.split(key)
+        state = ScaleTrainState(g_params, g_state, d_params, d_state,
+                                opt_g.init(trainable), opt_d.init(d_params),
+                                ks)
+    else:
+        state = jax.tree_util.tree_map(jnp.asarray, inflight["state"])
+        key = jnp.asarray(inflight["key"])
     if mesh is not None:
         from ..parallel.mesh import replicate_sharding
         state = jax.device_put(state, replicate_sharding(mesh))
 
     # noise-amp calibration: one host scalar per scale
     # (train_video_baselines.py:104-117)
-    if scale_idx == 0:
+    if inflight is not None:
+        assert len(noise_amps) == scale_idx + 1, (len(noise_amps), scale_idx)
+    elif scale_idx == 0:
         noise_amps.append(1.0)
     else:
         noise_amps.append(0.0)
@@ -152,12 +175,13 @@ def _train_baseline_scale(cfg, g_apply, d_apply, d_init, dataset, saver,
         noise_amps[-1] = cfg.noise_amp_init * float(rmse) / cfg.batch_size
     amps = _amps_array(noise_amps, cfg.stop_scale)
 
-    bar = create_progressbar(total=cfg.niter,
+    start_iter = int(inflight["iter"]) if inflight is not None else 0
+    bar = create_progressbar(total=cfg.niter, initial=start_iter,
                              desc=f"Training scale [{scale_idx + 1}/"
                                   f"{cfg.stop_scale + 1}]")
     t0 = time.time()
     metrics = {}
-    for iteration in range(0, cfg.niter, spc):
+    for iteration in range(start_iter, cfg.niter, spc):
         if split_steps:
             key, kb = jax.random.split(key)
             real, real_zero, noise_init = batch_fn(data_scale, data_zero, kb)
@@ -180,6 +204,18 @@ def _train_baseline_scale(cfg, g_apply, d_apply, d_init, dataset, saver,
             logging.logbook("[Scale {}/Iter {}] {}".format(
                 scale_idx + 1, done,
                 ", ".join(f"{k}: {v:.5f}" for k, v in sorted(vals.items()))))
+
+        # mid-scale checkpoint (--ckpt-interval), same crash-consistent
+        # ckpt-then-marker order as trainer.train_scale
+        if (cfg.ckpt_interval and done < cfg.niter and done % spc == 0
+                and done % cfg.ckpt_interval < spc):
+            saver.save_checkpoint({"state": state, "key": key, "iter": done},
+                                  f"inflight_{scale_idx}.ckpt")
+            saver.save_json({"noise_amps": noise_amps,
+                             "scale_idx": scale_idx,
+                             "inflight": f"inflight_{scale_idx}.ckpt",
+                             "inflight_iter": done}, "intermediate.json")
+
         if step_callback is not None:
             step_callback(done, state, metrics)
     bar.close()
@@ -187,6 +223,10 @@ def _train_baseline_scale(cfg, g_apply, d_apply, d_init, dataset, saver,
 
     saver.save_json({"noise_amps": noise_amps, "scale_idx": scale_idx},
                     "intermediate.json")
+    _inflight = os.path.join(saver.experiment_dir,
+                             f"inflight_{scale_idx}.ckpt")
+    if os.path.exists(_inflight):
+        os.remove(_inflight)
     saver.save_checkpoint({"params": state.g_params, "state": state.g_state},
                           f"netG_{scale_idx}.ckpt")
     saver.save_checkpoint({"params": state.d_params, "state": state.d_state},
@@ -221,23 +261,55 @@ def run_training(cfg, seed: int = 0, step_callback=None):
         mesh = make_mesh(cfg.mesh_data * cfg.mesh_sp,
                          data_parallel=cfg.mesh_data)
 
+    noise_amps: List[float] = []
+    cfg.scale_idx = 0
+    resumed_idx, resume_dir = -1, ""
+    inflight_payload = None
+    z_init = None
+
+    # --- resume (reference: train_video_baselines.py:342-360 --netG +
+    # --intermediate; the reference re-randomizes Z_init on resume, which
+    # silently changes the reconstruction target — here the persisted
+    # Z_init.npy is reloaded so the resumed run continues the same one)
+    if cfg.netG:
+        import json
+        inter_dir = os.path.dirname(cfg.intermediate)
+        with open(os.path.join(inter_dir, "intermediate.json")) as f:
+            inter = json.load(f)
+        noise_amps = list(inter["noise_amps"])
+        cfg.scale_idx = resumed_idx = int(inter["scale_idx"])
+        resume_dir = os.path.dirname(cfg.netG)
+        from ..utils.saver import load_pytree
+        ckpt = load_pytree(cfg.netG)
+        z_init = jnp.asarray(np.load(os.path.join(resume_dir, "Z_init.npy")))
+        if inter.get("inflight") \
+                and os.path.basename(cfg.netG) == inter["inflight"]:
+            inflight_payload = {"state": ckpt["state"], "key": ckpt["key"],
+                                "iter": int(ckpt["iter"])}
+            g_params = ckpt["state"].g_params
+            g_state = ckpt["state"].g_state
+            assert len(noise_amps) == cfg.scale_idx + 1, \
+                (len(noise_amps), cfg.scale_idx)
+        else:
+            g_params, g_state = ckpt["params"], ckpt["state"]
+            noise_amps = noise_amps[:cfg.scale_idx]
+
     # fixed Z_init at scale-0 size with nc_im channels
     # (train_video_baselines.py:41-44)
-    h0, w0 = pyramid.scale_size_2d(0, cfg.scale_factor, cfg.stop_scale,
-                                   cfg.img_size, cfg.ar)
-    _, td0, _ = pyramid.get_fps_td_by_index(0, cfg.stop_scale_time,
-                                            cfg.sampling_rates, cfg.org_fps,
-                                            cfg.fps_lcm)
-    z_init = jax.random.normal(kz, (1, td0, h0, w0, cfg.nc_im))
+    if z_init is None:
+        h0, w0 = pyramid.scale_size_2d(0, cfg.scale_factor, cfg.stop_scale,
+                                       cfg.img_size, cfg.ar)
+        _, td0, _ = pyramid.get_fps_td_by_index(0, cfg.stop_scale_time,
+                                                cfg.sampling_rates,
+                                                cfg.org_fps, cfg.fps_lcm)
+        z_init = jax.random.normal(kz, (1, td0, h0, w0, cfg.nc_im))
     np.save(os.path.join(saver.experiment_dir, "Z_init.npy"),
             np.asarray(z_init))
     g_apply = make_baseline_g_apply(base_apply, z_init)
 
-    noise_amps: List[float] = []
-    cfg.scale_idx = 0
     while cfg.scale_idx < cfg.stop_scale + 1:
         scale_idx = cfg.scale_idx
-        if scale_idx > 0:
+        if scale_idx > 0 and resumed_idx != scale_idx:
             g_params, g_state = next_stage(cfg, g_params, g_state)
         fps, td, fps_index = pyramid.get_fps_td_by_index(
             scale_idx, cfg.stop_scale_time, cfg.sampling_rates, cfg.org_fps,
@@ -245,12 +317,15 @@ def run_training(cfg, seed: int = 0, step_callback=None):
         cfg.fps, cfg.td, cfg.fps_index = fps, td, fps_index
 
         amps_in = list(noise_amps)
+        inflight = inflight_payload
+        inflight_payload = None
 
-        def train_fn(gp, gs, k, split_steps):
+        def train_fn(gp, gs, k, split_steps, _inflight=inflight):
             return _train_baseline_scale(
                 cfg, g_apply, d_apply, d_init, dataset, saver, list(amps_in),
                 z_init, gp, gs, k, step_callback=step_callback,
-                split_steps=split_steps, mesh=mesh)
+                split_steps=split_steps, mesh=mesh, resumed_idx=resumed_idx,
+                resume_dir=resume_dir, inflight=_inflight)
 
         g_params, g_state, noise_amps, key = run_scale_with_retry(
             train_fn, cfg, g_params, g_state, key)

@@ -76,6 +76,67 @@ def test_inflight_midscale_resume_exact(tmp_path):
         assert "inflight" not in json.load(f)
 
 
+def test_baselines_inflight_resume_exact(tmp_path):
+    """The baselines trainer supports the same --netG/--intermediate resume
+    as the reference driver (train_video_baselines.py:342-360) plus
+    mid-scale inflight resume; Z_init is reloaded, not re-randomized (the
+    reference silently changes the reconstruction target on resume)."""
+    import jax
+    import numpy as np
+
+    from hpvaegan_tpu.training.baselines_trainer import run_training as run_b
+
+    VID = os.path.join(os.path.dirname(__file__), "..", "data", "vids",
+                       "synthetic.avi")
+
+    def _bcfg(run_dir):
+        return Config(video_path=VID, checkname="br", nfc=8, num_layer=1,
+                      niter=6, img_size=18, min_size=9, max_size=18,
+                      sampling_rates=[2, 1], max_frames=5,
+                      generator="GeneratorCSG",
+                      discriminator="WDiscriminatorBaselines",
+                      print_interval=100, steps_per_call=2, ckpt_interval=2,
+                      run_dir=run_dir, manualSeed=1).finalize()
+
+    cfg_a = _bcfg(str(tmp_path / "a"))
+    g_a, _, amps_a, _ = run_b(cfg_a, seed=1)
+
+    class Boom(Exception):
+        pass
+
+    cfg_b = _bcfg(str(tmp_path / "b"))
+    last = cfg_b.stop_scale
+
+    def cb(done, state, metrics):
+        if cfg_b.scale_idx == last and done == 4:
+            raise Boom()
+
+    try:
+        run_b(cfg_b, seed=1, step_callback=cb)
+        assert False, "expected the simulated kill"
+    except Boom:
+        pass
+    exp_b = cfg_b.saver.experiment_dir
+    with open(os.path.join(exp_b, "intermediate.json")) as f:
+        inter = json.load(f)
+    assert inter["inflight"] == f"inflight_{last}.ckpt"
+
+    cfg_c = _bcfg(str(tmp_path / "c"))
+    cfg_c.netG = os.path.join(exp_b, inter["inflight"])
+    cfg_c.intermediate = os.path.join(exp_b, "intermediate.json")
+    g_c, _, amps_c, saver_c = run_b(cfg_c, seed=1)
+
+    assert amps_a == amps_c
+    # Z_init carried over, not re-randomized
+    np.testing.assert_array_equal(
+        np.load(os.path.join(exp_b, "Z_init.npy")),
+        np.load(os.path.join(saver_c.experiment_dir, "Z_init.npy")))
+    la, lc = (jax.tree_util.tree_leaves(t) for t in (g_a, g_c))
+    assert len(la) == len(lc)
+    for a, c in zip(la, lc):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_resume_from_mid_run(tmp_path):
     cfg = _cfg(str(tmp_path / "a"))
     g_params, _, amps, saver = run_training(cfg, mode="image", seed=1)
