@@ -64,8 +64,10 @@ def _honor_platform_request():
 
         if jax.config.jax_platforms != want:
             jax.config.update("jax_platforms", want)
-            if xla_bridge._backends and \
-                    not set(xla_bridge._backends) & set(want.split(",")):
+            # any backend state resolved under the OLD platform list is
+            # stale (e.g. "axon,cpu" initializes BOTH, and axon stays the
+            # default even after the config update) — clear and re-resolve
+            if xla_bridge._backends:
                 xla_bridge._clear_backends()
     except Exception:  # pragma: no cover - private API, best-effort
         pass

@@ -176,6 +176,11 @@ def _train_baseline_scale(cfg, g_apply, d_apply, d_init, dataset, saver,
     amps = _amps_array(noise_amps, cfg.stop_scale)
 
     start_iter = int(inflight["iter"]) if inflight is not None else 0
+    if start_iter % spc != 0:
+        raise ValueError(
+            f"inflight iteration {start_iter} is not a multiple of "
+            f"steps_per_call={spc}; resume with the original "
+            f"--steps-per-call (or one that divides {start_iter})")
     bar = create_progressbar(total=cfg.niter, initial=start_iter,
                              desc=f"Training scale [{scale_idx + 1}/"
                                   f"{cfg.stop_scale + 1}]")
@@ -205,32 +210,21 @@ def _train_baseline_scale(cfg, g_apply, d_apply, d_init, dataset, saver,
                 scale_idx + 1, done,
                 ", ".join(f"{k}: {v:.5f}" for k, v in sorted(vals.items()))))
 
-        # mid-scale checkpoint (--ckpt-interval), same crash-consistent
-        # ckpt-then-marker order as trainer.train_scale
+        # mid-scale checkpoint (--ckpt-interval); crash ordering in
+        # saver.save_inflight
         if (cfg.ckpt_interval and done < cfg.niter and done % spc == 0
                 and done % cfg.ckpt_interval < spc):
-            saver.save_checkpoint({"state": state, "key": key, "iter": done},
-                                  f"inflight_{scale_idx}.ckpt")
-            saver.save_json({"noise_amps": noise_amps,
-                             "scale_idx": scale_idx,
-                             "inflight": f"inflight_{scale_idx}.ckpt",
-                             "inflight_iter": done}, "intermediate.json")
+            saver.save_inflight(scale_idx, state, key, done, noise_amps)
 
         if step_callback is not None:
             step_callback(done, state, metrics)
     bar.close()
     logging.info("scale %d done in %.1fs", scale_idx, time.time() - t0)
 
-    saver.save_json({"noise_amps": noise_amps, "scale_idx": scale_idx},
-                    "intermediate.json")
-    _inflight = os.path.join(saver.experiment_dir,
-                             f"inflight_{scale_idx}.ckpt")
-    if os.path.exists(_inflight):
-        os.remove(_inflight)
-    saver.save_checkpoint({"params": state.g_params, "state": state.g_state},
-                          f"netG_{scale_idx}.ckpt")
-    saver.save_checkpoint({"params": state.d_params, "state": state.d_state},
-                          f"netD_{scale_idx}.ckpt")
+    saver.finalize_scale(
+        scale_idx, noise_amps,
+        {"params": state.g_params, "state": state.g_state},
+        {"params": state.d_params, "state": state.d_state})
     return state.g_params, state.g_state, noise_amps, key
 
 
@@ -303,8 +297,11 @@ def run_training(cfg, seed: int = 0, step_callback=None):
                                                 cfg.sampling_rates,
                                                 cfg.org_fps, cfg.fps_lcm)
         z_init = jax.random.normal(kz, (1, td0, h0, w0, cfg.nc_im))
-    np.save(os.path.join(saver.experiment_dir, "Z_init.npy"),
-            np.asarray(z_init))
+    # atomic like every other resume artifact: Z_init IS the reconstruction
+    # target, and a supervisor kill during startup must not truncate it
+    _z_dst = os.path.join(saver.experiment_dir, "Z_init.npy")
+    np.save(_z_dst + ".tmp.npy", np.asarray(z_init))
+    os.replace(_z_dst + ".tmp.npy", _z_dst)
     g_apply = make_baseline_g_apply(base_apply, z_init)
 
     while cfg.scale_idx < cfg.stop_scale + 1:

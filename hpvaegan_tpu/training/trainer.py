@@ -195,6 +195,14 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
     amps = _amps_array(noise_amps, cfg.stop_scale)
 
     start_iter = int(inflight["iter"]) if inflight is not None else 0
+    if start_iter % spc != 0:
+        # inflight saves land on chunk boundaries of the ORIGINAL run; a
+        # resume with a different --steps-per-call would silently train the
+        # wrong number of iterations in the tail chunk
+        raise ValueError(
+            f"inflight iteration {start_iter} is not a multiple of "
+            f"steps_per_call={spc}; resume with the original "
+            f"--steps-per-call (or one that divides {start_iter})")
     bar = create_progressbar(
         total=cfg.niter, initial=start_iter,
         desc="Training scale [{}/{}]".format(scale_idx + 1, cfg.stop_scale + 1))
@@ -242,17 +250,10 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
 
         # mid-scale checkpoint (--ckpt-interval): FULL train state at a
         # chunk boundary, so a supervisor restart continues bit-exactly
-        # instead of losing the scale. Ckpt first, then the intermediate
-        # marker referencing it (save_json is atomic): a kill between the
-        # two leaves the previous consistent pair.
+        # instead of losing the scale (crash ordering in saver.save_inflight)
         if (cfg.ckpt_interval and done < cfg.niter and done % spc == 0
                 and done % cfg.ckpt_interval < spc):
-            saver.save_checkpoint({"state": state, "key": key, "iter": done},
-                                  f"inflight_{scale_idx}.ckpt")
-            saver.save_json({"noise_amps": noise_amps,
-                             "scale_idx": scale_idx,
-                             "inflight": f"inflight_{scale_idx}.ckpt",
-                             "inflight_iter": done}, "intermediate.json")
+            saver.save_inflight(scale_idx, state, key, done, noise_amps)
 
         if viz is not None and done % cfg.image_interval < spc:
             key, kb, kv = jax.random.split(key, 3)
@@ -265,21 +266,13 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
 
     bar.close()
 
-    # --- save (train_image.py:206-210); the scale-end intermediate.json
-    # drops the inflight marker, and the stale inflight ckpt is removed so
-    # no resume can land inside a completed scale
-    saver.save_json({"noise_amps": noise_amps, "scale_idx": scale_idx},
-                    "intermediate.json")
-    import os as _os
-    _inflight = _os.path.join(saver.experiment_dir,
-                              f"inflight_{scale_idx}.ckpt")
-    if _os.path.exists(_inflight):
-        _os.remove(_inflight)
-    saver.save_checkpoint({"params": state.g_params, "state": state.g_state},
-                          f"netG_{scale_idx}.ckpt")
-    if not vae_phase:
-        saver.save_checkpoint({"params": state.d_params, "state": state.d_state},
-                              f"netD_{scale_idx}.ckpt")
+    # --- save (train_image.py:206-210), crash-ordered in
+    # DataSaver.finalize_scale: checkpoints, then marker, then inflight drop
+    saver.finalize_scale(
+        scale_idx, noise_amps,
+        {"params": state.g_params, "state": state.g_state},
+        None if vae_phase else {"params": state.d_params,
+                                "state": state.d_state})
     return state.g_params, state.g_state, noise_amps, key
 
 

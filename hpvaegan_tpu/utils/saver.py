@@ -149,6 +149,35 @@ class DataSaver:
     def save_checkpoint(self, tree, filename: str) -> None:
         save_pytree(tree, os.path.join(self.experiment_dir, filename))
 
+    def save_inflight(self, scale_idx: int, state, key, iteration: int,
+                      noise_amps) -> None:
+        """Mid-scale full-state checkpoint (--ckpt-interval), crash-ordered:
+        the ckpt first (atomic), then the intermediate marker referencing it
+        (atomic) — a kill anywhere leaves the previous consistent pair."""
+        self.save_checkpoint({"state": state, "key": key, "iter": iteration},
+                             f"inflight_{scale_idx}.ckpt")
+        self.save_json({"noise_amps": noise_amps, "scale_idx": scale_idx,
+                        "inflight": f"inflight_{scale_idx}.ckpt",
+                        "inflight_iter": iteration}, "intermediate.json")
+
+    def finalize_scale(self, scale_idx: int, noise_amps, g_tree,
+                       d_tree=None) -> None:
+        """Scale-end artifact sequence (reference: train_image.py:206-210),
+        crash-ordered: netG/netD checkpoints FIRST, then the intermediate
+        marker, then drop the inflight ckpt. A kill before the marker leaves
+        the previous marker (inflight or prior scale) with its checkpoint
+        still on disk; marker-then-checkpoint would leave a scale_idx
+        pointing at a netG that does not exist, restarting from scratch."""
+        self.save_checkpoint(g_tree, f"netG_{scale_idx}.ckpt")
+        if d_tree is not None:
+            self.save_checkpoint(d_tree, f"netD_{scale_idx}.ckpt")
+        self.save_json({"noise_amps": noise_amps, "scale_idx": scale_idx},
+                       "intermediate.json")
+        inflight = os.path.join(self.experiment_dir,
+                                f"inflight_{scale_idx}.ckpt")
+        if os.path.exists(inflight):
+            os.remove(inflight)
+
     def load_checkpoint(self, filename: str, path: Optional[str] = None):
         path = path or self.experiment_dir
         return load_pytree(os.path.join(path, filename))
