@@ -35,6 +35,39 @@ def test_saver_json_and_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(back["params"]["w"], tree["params"]["w"])
 
 
+def test_saver_crash_ordering(tmp_path, monkeypatch):
+    """The checkpoint-sequence helpers must keep the crash-consistent order:
+    inflight = ckpt THEN marker; scale end = netG/netD ckpts THEN marker
+    THEN inflight drop. A kill between any two writes must leave a marker
+    whose referenced checkpoint exists on disk."""
+    cfg, s = _saver(tmp_path)
+    calls = []
+    real_ckpt, real_json = DataSaver.save_checkpoint, DataSaver.save_json
+    monkeypatch.setattr(DataSaver, "save_checkpoint",
+                        lambda self, tree, fn: (calls.append(("ckpt", fn)),
+                                                real_ckpt(self, tree, fn))[1])
+    monkeypatch.setattr(DataSaver, "save_json",
+                        lambda self, obj, fn: (calls.append(("json", fn)),
+                                               real_json(self, obj, fn))[1])
+
+    s.save_inflight(2, {"w": np.ones(3)}, np.zeros(2), 40, [1.0, 0.5, 0.4])
+    assert calls == [("ckpt", "inflight_2.ckpt"),
+                     ("json", "intermediate.json")]
+    assert s.load_json("intermediate.json")["inflight_iter"] == 40
+
+    calls.clear()
+    s.finalize_scale(2, [1.0, 0.5, 0.4], {"g": np.ones(2)}, {"d": np.ones(2)})
+    assert calls == [("ckpt", "netG_2.ckpt"), ("ckpt", "netD_2.ckpt"),
+                     ("json", "intermediate.json")]
+    assert not os.path.exists(os.path.join(s.experiment_dir,
+                                           "inflight_2.ckpt"))
+    assert "inflight" not in s.load_json("intermediate.json")
+
+    calls.clear()
+    s.finalize_scale(3, [1.0], {"g": np.ones(2)}, None)  # VAE phase: no netD
+    assert calls == [("ckpt", "netG_3.ckpt"), ("json", "intermediate.json")]
+
+
 def test_make_video_gif(tmp_path):
     frames = (np.random.RandomState(0).rand(4, 16, 16, 3) * 255).astype(np.uint8)
     path = str(tmp_path / "out.gif")
