@@ -241,6 +241,61 @@ def test_spatial_sharded_training(tmp_path):
     assert all(np.isfinite(a) for a in amps)
 
 
+def test_mesh_inflight_resume_exact(tmp_path):
+    """--ckpt-interval under a data-parallel mesh: the inflight save
+    gathers the replicated state to host, resume re-replicates it — the
+    round-trip must continue bit-exactly (same final params as an
+    uninterrupted same-seed mesh run)."""
+    import json
+    import os
+
+    from hpvaegan_tpu.training.trainer import run_training
+
+    img = os.path.join(os.path.dirname(__file__), "..", "data", "imgs",
+                       "air_balloons.jpg")
+
+    def _cfg(run_dir):
+        return Config(image_path=img, checkname="mi", nfc=8, latent_dim=8,
+                      num_layer=1, enc_blocks=1, niter=6, img_size=24,
+                      min_size=12, max_size=24, vae_levels=1, batch_size=8,
+                      mesh_data=8, steps_per_call=2, ckpt_interval=2,
+                      print_interval=100, compile_ahead=False,
+                      run_dir=run_dir, manualSeed=1).finalize()
+
+    cfg_a = _cfg(str(tmp_path / "a"))
+    g_a, _, amps_a, _ = run_training(cfg_a, mode="image", seed=1)
+
+    class Boom(Exception):
+        pass
+
+    cfg_b = _cfg(str(tmp_path / "b"))
+    last = cfg_b.stop_scale
+
+    def cb(done, state, metrics):
+        if cfg_b.scale_idx == last and done == 4:
+            raise Boom()
+
+    try:
+        run_training(cfg_b, mode="image", seed=1, step_callback=cb)
+        assert False, "expected the simulated kill"
+    except Boom:
+        pass
+    exp_b = cfg_b.saver.experiment_dir
+    with open(os.path.join(exp_b, "intermediate.json")) as f:
+        inter = json.load(f)
+    assert inter["inflight"] == f"inflight_{last}.ckpt"
+
+    cfg_c = _cfg(str(tmp_path / "c"))
+    cfg_c.netG = os.path.join(exp_b, inter["inflight"])
+    cfg_c.intermediate = os.path.join(exp_b, "intermediate.json")
+    g_c, _, amps_c, _ = run_training(cfg_c, mode="image", seed=1)
+
+    assert amps_a == amps_c
+    for a, c in zip(jax.tree_util.tree_leaves(g_a),
+                    jax.tree_util.tree_leaves(g_c)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_video_mesh_training(tmp_path):
     """Trainer-level VIDEO run on a ('data':2, 'sp':4) mesh: the 5-D
     (B, T, H, W, C) batch is sharded over 'data' on B and H-sharded over
