@@ -23,7 +23,14 @@ import numpy as np
 
 
 def tree_to_numpy(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """d2h via jax.device_get, which batches all transfers before blocking.
+    The remote-TPU tunnel charges its round-trip latency PER BUFFER on a
+    synchronous np.asarray, so leaf-wise d2h of a checkpoint tree costs
+    minutes (measured round 3 on the finest-3D full train state, 1266
+    leaves / 85 MB: leaf-wise np.asarray 188 s, per-leaf copy_to_host_async
+    then asarray 30 s, jax.device_get 1.8 s)."""
+    return jax.tree_util.tree_map(lambda x: np.asarray(x),
+                                  jax.device_get(tree))
 
 
 def snapshot_tree(tree, timeout_s: float = 120.0, retry_timeout_s: float = 60.0):
@@ -50,6 +57,13 @@ def snapshot_tree(tree, timeout_s: float = 120.0, retry_timeout_s: float = 60.0)
          (scripts/train_watchdog.sh) restarts from the newest checkpoint —
          that is the net, not this function.
     Returns (snapshot, kind) with kind in {'host', 'host-retry', 'device'}.
+
+    Since tree_to_numpy prefetches all transfers before blocking, a healthy
+    snapshot completes in seconds even for full finest-scale states — a
+    deadline hit now almost certainly means a genuinely wedged transport,
+    not a slow-but-legitimate leaf-wise transfer (round-3 measurement: the
+    synchronous per-leaf path cost 171 s on a 396-leaf tree, which could
+    spuriously trip the 120 s deadline).
     """
     import threading
 
