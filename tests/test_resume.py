@@ -76,6 +76,59 @@ def test_inflight_midscale_resume_exact(tmp_path):
         assert "inflight" not in json.load(f)
 
 
+def test_video_inflight_resume_exact(tmp_path):
+    """Video mode shares train_scale but forms batches through the temporal
+    window body — the inflight round-trip must be bit-exact there too."""
+    import jax
+    import numpy as np
+
+    VID = os.path.join(os.path.dirname(__file__), "..", "data", "vids",
+                       "synthetic.avi")
+
+    def _vcfg(run_dir):
+        return Config(video_path=VID, checkname="vr", nfc=8, latent_dim=8,
+                      num_layer=1, enc_blocks=1, niter=6, img_size=18,
+                      min_size=9, max_size=18, sampling_rates=[2, 1],
+                      max_frames=5, vae_levels=1,
+                      discriminator="WDiscriminator3D", print_interval=100,
+                      steps_per_call=2, ckpt_interval=2,
+                      compile_ahead=False, run_dir=run_dir,
+                      manualSeed=1).finalize()
+
+    cfg_a = _vcfg(str(tmp_path / "a"))
+    g_a, _, amps_a, _ = run_training(cfg_a, mode="video", seed=1)
+
+    class Boom(Exception):
+        pass
+
+    cfg_b = _vcfg(str(tmp_path / "b"))
+    last = cfg_b.stop_scale
+
+    def cb(done, state, metrics):
+        if cfg_b.scale_idx == last and done == 4:
+            raise Boom()
+
+    try:
+        run_training(cfg_b, mode="video", seed=1, step_callback=cb)
+        assert False, "expected the simulated kill"
+    except Boom:
+        pass
+    exp_b = cfg_b.saver.experiment_dir
+    with open(os.path.join(exp_b, "intermediate.json")) as f:
+        inter = json.load(f)
+    assert inter["inflight"] == f"inflight_{last}.ckpt"
+
+    cfg_c = _vcfg(str(tmp_path / "c"))
+    cfg_c.netG = os.path.join(exp_b, inter["inflight"])
+    cfg_c.intermediate = os.path.join(exp_b, "intermediate.json")
+    g_c, _, amps_c, _ = run_training(cfg_c, mode="video", seed=1)
+
+    assert amps_a == amps_c
+    for a, c in zip(jax.tree_util.tree_leaves(g_a),
+                    jax.tree_util.tree_leaves(g_c)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_baselines_inflight_resume_exact(tmp_path):
     """The baselines trainer supports the same --netG/--intermediate resume
     as the reference driver (train_video_baselines.py:342-360) plus
