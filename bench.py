@@ -200,11 +200,11 @@ def bench_eval_sifid(num_samples: int = 64) -> float:
     return dt
 
 
-def bench_video_scale(scale_idx: int = 6, iters: int = 16,
-                      compute_dtype: str = "float32",
-                      fused_dg: bool = False) -> float:
-    """Video (Conv3D) GAN-phase steps/sec at a given scale of the
-    128px/13-frame workload (BASELINE config 4 shape)."""
+def build_video(scale_idx: int = 6, compute_dtype: str = "float32",
+                fused_dg: bool = False):
+    """Video (Conv3D) GAN-phase chunk at a given scale of the 128px/13-frame
+    workload (BASELINE config 4 shape); returns
+    (cfg, state, chunk, data_scale, data_zero, amps) like build()."""
     from hpvaegan_tpu import models
     from hpvaegan_tpu.config import Config
     from hpvaegan_tpu.data.video import (SingleVideoDataset,
@@ -247,6 +247,14 @@ def bench_video_scale(scale_idx: int = 6, iters: int = 16,
                          jax.random.PRNGKey(2))
     dS, d0 = ds.scale_frames(scale_idx), ds.scale_frames(0)
     amps = jnp.ones((cfg.stop_scale + 2,)) * 0.1
+    return cfg, st, chunk, dS, d0, amps
+
+
+def bench_video_scale(scale_idx: int = 6, iters: int = 16,
+                      compute_dtype: str = "float32",
+                      fused_dg: bool = False) -> float:
+    cfg, st, chunk, dS, d0, amps = build_video(scale_idx, compute_dtype,
+                                               fused_dg=fused_dg)
     st, m = chunk(st, dS, d0, amps)
     float(np.asarray(m["g_loss"]))
     n = max(1, iters // cfg.steps_per_call)

@@ -27,15 +27,22 @@ def main():
                     default=True)
     ap.add_argument("--chunks", type=int, default=4)
     ap.add_argument("--scale-idx", type=int, default=9)
+    ap.add_argument("--video", action="store_true",
+                    help="profile the 3D video chunk instead (128px/13-frame "
+                         "workload; pass --scale-idx 6 for its finest scale)")
     args = ap.parse_args()
 
     import jax
     import numpy as np
 
-    from bench import build
+    from bench import build, build_video
 
-    cfg, state, chunk, data_scale, data_zero, amps = build(
-        args.scale_idx, args.compute_dtype, fused_dg=args.fused_dg)
+    if args.video:
+        cfg, state, chunk, data_scale, data_zero, amps = build_video(
+            args.scale_idx, args.compute_dtype, fused_dg=args.fused_dg)
+    else:
+        cfg, state, chunk, data_scale, data_zero, amps = build(
+            args.scale_idx, args.compute_dtype, fused_dg=args.fused_dg)
     for _ in range(2):
         state, m = chunk(state, data_scale, data_zero, amps)
     float(np.asarray(m["g_loss"]))

@@ -13,6 +13,32 @@ import textwrap
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
+sys.path.insert(0, REPO)
+
+
+def test_bench_harness_builders_wire_up():
+    """bench.build / bench.build_video are the driver-hook workload factories
+    (and feed scripts/profile_finest_chunk.py); lock their wiring — config
+    finalization, dataset, chunk/state assembly — without compiling a chunk
+    (the e2e trainer tests cover execution)."""
+    import jax
+    import bench
+
+    cfg, state, chunk, data_scale, data_zero, amps = bench.build(
+        0, "float32")
+    assert callable(chunk)
+    assert data_scale.ndim == 4 and data_scale.shape[-1] == 3  # NHWC
+    assert data_zero.shape == data_scale.shape  # scale 0 == scale 0
+    assert amps.shape == (cfg.stop_scale + 2,)
+    assert float(amps[0]) == 1.0
+    assert jax.tree_util.tree_leaves(state.g_params)
+
+    vcfg, vstate, vchunk, vS, v0, vamps = bench.build_video(0, "float32")
+    assert callable(vchunk)
+    assert vS.ndim == 5 and vS.shape[-1] == 3  # NTHWC
+    assert v0.ndim == 5
+    assert vamps.shape == (vcfg.stop_scale + 2,)
+    assert jax.tree_util.tree_leaves(vstate.g_params)
 
 
 def test_categorize_uses_instruction_name_only():
