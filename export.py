@@ -45,10 +45,27 @@ def main():
     path = netG if os.path.isabs(netG) else os.path.join(args.exp_dir, netG)
     if not os.path.isfile(path):
         raise RuntimeError(f"=> no <G> checkpoint found at '{path}'")
-    ckpt = load_pytree(path)
 
     # video experiments (args.txt carries video_path) export the 3D sampler
     ndim = 3 if getattr(cfg, 'video_path', '') else 2
+
+    # same checkpoint surface as eval (reference export.py:56-64 also
+    # load-converts): torch .pth, MindSpore .ckpt (content-sniffed — our own
+    # pytree checkpoints share the suffix), or this framework's pytree
+    if path.endswith('.pth'):
+        from hpvaegan_tpu.tools.convert import (load_torch_checkpoint,
+                                                p2j_HPVAEGAN)
+        params, state = p2j_HPVAEGAN(load_torch_checkpoint(path), ndim=ndim)
+        ckpt = {'params': params, 'state': state}
+    else:
+        from hpvaegan_tpu.tools.ms_ckpt import (is_ms_checkpoint,
+                                                load_ms_checkpoint)
+        if is_ms_checkpoint(path):
+            from hpvaegan_tpu.tools.convert import m2j_HPVAEGAN
+            params, state = m2j_HPVAEGAN(load_ms_checkpoint(path), ndim=ndim)
+            ckpt = {'params': params, 'state': state}
+        else:
+            ckpt = load_pytree(path)
     prefix = os.path.join(infer_dir, os.path.basename(path).split('.')[0])
     # portable artifact (.stablehlo): multi-platform, verifiable on CPU hosts
     exported = export_sampler(cfg, ckpt['params'], ckpt['state'], ndim=ndim,

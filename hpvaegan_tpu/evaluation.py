@@ -59,6 +59,14 @@ def load_generator(cfg, exp_dir: str, ndim: int, netG: str = ""):
         cfg.Noise_Amps = inter["noise_amps"][:cfg.scale_idx + 1]
         params, state = p2j_HPVAEGAN(raw, ndim=ndim)
         return params, state, saver
+    from .tools.ms_ckpt import is_ms_checkpoint, load_ms_checkpoint
+    if is_ms_checkpoint(path):
+        # MindSpore-saved generator (reference eval_image.py:163-165's m2m
+        # path); .ckpt is also this framework's own suffix, so dispatch is
+        # by file content, not extension
+        from .tools.convert import m2j_HPVAEGAN
+        params, state = m2j_HPVAEGAN(load_ms_checkpoint(path), ndim=ndim)
+        return params, state, saver
     ckpt = load_pytree(path)
     return ckpt["params"], ckpt["state"], saver
 

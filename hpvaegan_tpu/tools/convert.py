@@ -221,6 +221,119 @@ def p2j_WDiscriminator(netD_pth, ndim: int = 2) -> Tuple[Dict, Dict]:
             {"head": hs, "body": bs})
 
 
+_MS_BN_NAMES = {"gamma": "weight", "beta": "bias",
+                "moving_mean": "running_mean",
+                "moving_variance": "running_var"}
+
+
+def _ms_stack_key(segs) -> str:
+    """MindSpore conv-stack segments -> torch name within a stage/decoder.
+
+    p2m (pt2ms.py:62-82) renames: head.->0., block<i>.-><i+1>., tail.->
+    <num_layer+1>., conv.->0., norm.->1. (+ BN gamma/beta/moving_* names).
+    The plain tail conv has no module level, so '<n>.weight|bias' is the
+    tail regardless of what <n> is (num_layer varies per config)."""
+    if len(segs) == 2 and segs[1] in ("weight", "bias"):
+        return f"tail.{segs[1]}"
+    if len(segs) == 3 and segs[1] in ("0", "1"):
+        n = int(segs[0])
+        blk = "head" if n == 0 else f"block{n - 1}"
+        mod = "conv" if segs[1] == "0" else "norm"
+        return f"{blk}.{mod}.{_MS_BN_NAMES.get(segs[2], segs[2])}"
+    return ""
+
+
+def _m2t_generator(ms: Dict) -> Dict:
+    """MindSpore GeneratorHPVAEGAN parameter names -> the original torch
+    naming (the exact inverse of p2m_HPVAEGAN_2d/3d, pt2ms.py:30-89,129-188,
+    composed with the reference's own m2m body renumbering, pt2ms.py:92-104,
+    for checkpoints saved straight from a MindSpore cell whose body keys
+    lack the 'body.' prefix)."""
+    out: Dict = {}
+    for key, value in ms.items():
+        k = key
+        if not k.startswith(("encode.", "decoder.", "body.")):
+            # reference m2m renumbering, applied verbatim
+            m = re.match(r"^(\d+)\.", k)
+            if not m:
+                continue
+            num = int(m.group(1))
+            if num != 0:
+                k = k.replace(f"{num}.", f"0.0.{num}.", 1)
+            k = "body." + k
+        if k.startswith("encode."):
+            rest = k[len("encode."):]
+            m = re.match(r"_features\.(\d+)\.0\.(.*)", rest)
+            if m:
+                out[f"encode.features.conv_block_{m.group(1)}"
+                    f".conv.{m.group(2)}"] = value
+                continue
+            m = re.match(r"_(mu|logvar|bern)\.0\.(.*)", rest)
+            if m:
+                out[f"encode.{m.group(1)}.conv.{m.group(2)}"] = value
+            continue
+        if k.startswith("decoder."):
+            name = _ms_stack_key(k[len("decoder."):].split("."))
+            if name:
+                out["decoder." + name] = value
+            continue
+        segs = k[len("body."):].split(".")
+        # stage addressing (p2m): stage 0 keys are 'body.0.<n>...', stage
+        # k>=1 keys are 'body.0.0.<k>.<n>...' — distinguishable by length
+        # (stage-0 keys are <=4 segments: tail = [0,n,pname], block =
+        # [0,n,mod,pname]; stage-k tails/blocks are 5/6)
+        if len(segs) >= 5 and segs[0] == "0" and segs[1] == "0":
+            stage, segs = int(segs[2]), segs[3:]
+        elif segs[0] == "0":
+            stage, segs = 0, segs[1:]
+        else:
+            continue
+        name = _ms_stack_key(segs)
+        if name:
+            out[f"body.{stage}." + name] = value
+    return out
+
+
+def _m2t_discriminator(ms: Dict) -> Dict:
+    """MindSpore WDiscriminator names -> torch naming (inverse of
+    p2m_WDiscriminator_2d/3d, pt2ms.py:8-27,107-126: head.conv.->head.0.,
+    body.block<i!=0>.conv.->body.0.<i>.0., body.block0.conv.->body.0.0.,
+    weight_orig->weight; the linear tail keeps its names)."""
+    out: Dict = {}
+    for k, value in ms.items():
+        if k.startswith("head.0."):
+            out["head.conv." + k[len("head.0."):]] = value
+        elif k.startswith("tail."):
+            out[k] = value
+        elif k.startswith("body."):
+            segs = k[len("body."):].split(".")
+            if len(segs) == 3 and segs[0] == "0" and segs[1] == "0":
+                blk, name = 0, segs[2]
+            elif len(segs) == 4 and segs[0] == "0" and segs[2] == "0":
+                blk, name = int(segs[1]), segs[3]
+            else:
+                continue
+            out[f"body.block{blk}.conv.{name}"] = value
+    return out
+
+
+def m2j_HPVAEGAN(ms_ckpt: Dict, ndim: int = 2) -> Tuple[Dict, Dict]:
+    """MindSpore checkpoint dict ({name: array}, e.g. from
+    tools.ms_ckpt.load_ms_checkpoint) -> (params, state). Covers the
+    reference's .ckpt eval-resume path (eval_image.py:163-165), which it
+    implements as mindspore.load_checkpoint + m2m_HPVAEGAN_2d; here the MS
+    names are mapped back to the original torch naming and the torch
+    converter pipeline is reused (transposes, SN v re-permutation)."""
+    return p2j_HPVAEGAN(_m2t_generator(ms_ckpt), ndim=ndim)
+
+
+def m2j_WDiscriminator(ms_ckpt: Dict, ndim: int = 2) -> Tuple[Dict, Dict]:
+    """MindSpore WDiscriminator checkpoint dict -> (params, state) —
+    including the 3D case the reference references but never implemented
+    (train_video.py:57,61 calls a missing m2m_WDiscriminator_3d)."""
+    return p2j_WDiscriminator(_m2t_discriminator(ms_ckpt), ndim=ndim)
+
+
 def load_intermediate(netG_pth) -> Dict:
     """{noise_amps, scale_idx} from a torch checkpoint
     (reference: pt2ms.py:195-197)."""
