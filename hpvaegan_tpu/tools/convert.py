@@ -232,10 +232,13 @@ def _ms_stack_key(segs) -> str:
     p2m (pt2ms.py:62-82) renames: head.->0., block<i>.-><i+1>., tail.->
     <num_layer+1>., conv.->0., norm.->1. (+ BN gamma/beta/moving_* names).
     The plain tail conv has no module level, so '<n>.weight|bias' is the
-    tail regardless of what <n> is (num_layer varies per config)."""
+    tail regardless of what <n> is (num_layer varies per config). 3D BN
+    names carry an extra level (norm. -> 1.bn2d., pt2ms.py:175)."""
     if len(segs) == 2 and segs[1] in ("weight", "bias"):
         return f"tail.{segs[1]}"
-    if len(segs) == 3 and segs[1] in ("0", "1"):
+    if len(segs) == 4 and segs[1] == "1" and segs[2] == "bn2d":
+        segs = [segs[0], "1", segs[3]]
+    if len(segs) == 3 and segs[1] in ("0", "1") and segs[0].isdigit():
         n = int(segs[0])
         blk = "head" if n == 0 else f"block{n - 1}"
         mod = "conv" if segs[1] == "0" else "norm"
@@ -279,16 +282,18 @@ def _m2t_generator(ms: Dict) -> Dict:
             continue
         segs = k[len("body."):].split(".")
         # stage addressing (p2m): stage 0 keys are 'body.0.<n>...', stage
-        # k>=1 keys are 'body.0.0.<k>.<n>...' — distinguishable by length
-        # (stage-0 keys are <=4 segments: tail = [0,n,pname], block =
-        # [0,n,mod,pname]; stage-k tails/blocks are 5/6)
-        if len(segs) >= 5 and segs[0] == "0" and segs[1] == "0":
-            stage, segs = int(segs[2]), segs[3:]
-        elif segs[0] == "0":
-            stage, segs = 0, segs[1:]
-        else:
+        # k>=1 keys are 'body.0.0.<k>.<n>...'. Prefer the stage-k reading
+        # when it yields a valid stack key, else fall back to stage 0 —
+        # length alone cannot disambiguate the 3D bn2d names (a stage-0
+        # head-BN key 'body.0.0.1.bn2d.gamma' is 5 segments too).
+        if segs[0] != "0":
             continue
-        name = _ms_stack_key(segs)
+        name, stage = "", 0
+        if len(segs) >= 5 and segs[1] == "0" and segs[2].isdigit():
+            name = _ms_stack_key(segs[3:])
+            stage = int(segs[2])
+        if not name:
+            name, stage = _ms_stack_key(segs[1:]), 0
         if name:
             out[f"body.{stage}." + name] = value
     return out

@@ -205,6 +205,73 @@ def test_m2j_generator_raw_save_layout():
     _trees_equal(want_s, got_s)
 
 
+def _fake_torch_netG_3d(cfg, n_stages=2, seed=3):
+    rng = np.random.RandomState(seed)
+    sd = {}
+
+    def conv(prefix, cin, cout, k=3, sn=False, bn=False):
+        w = rng.randn(cout, cin, k, k, k).astype(np.float32) * 0.05
+        sd[f"{prefix}.conv.weight_orig" if sn else f"{prefix}.conv.weight"] = w
+        sd[f"{prefix}.conv.bias"] = np.zeros(cout, np.float32)
+        if sn:
+            sd[f"{prefix}.conv.weight_u"] = rng.randn(cout).astype(np.float32)
+            sd[f"{prefix}.conv.weight_v"] = rng.randn(cin * k ** 3).astype(
+                np.float32)
+        if bn:
+            sd[f"{prefix}.norm.weight"] = np.ones(cout, np.float32)
+            sd[f"{prefix}.norm.bias"] = np.zeros(cout, np.float32)
+            sd[f"{prefix}.norm.running_mean"] = np.zeros(cout, np.float32)
+            sd[f"{prefix}.norm.running_var"] = np.ones(cout, np.float32)
+
+    n = cfg.nfc
+    conv("encode.features.conv_block_0", cfg.nc_im, n, sn=True)
+    conv("encode.features.conv_block_1", n, n, sn=True)
+    for head in ("mu", "logvar"):
+        sd[f"encode.{head}.conv.weight"] = rng.randn(
+            cfg.latent_dim, n, 3, 3, 3).astype(np.float32) * 0.05
+        sd[f"encode.{head}.conv.bias"] = np.zeros(cfg.latent_dim, np.float32)
+
+    def stack(prefix, cin):
+        conv(f"{prefix}.head", cin, n, bn=True)
+        for i in range(cfg.num_layer):
+            conv(f"{prefix}.block{i}", n, n, bn=True)
+        sd[f"{prefix}.tail.weight"] = rng.randn(
+            cfg.nc_im, n, 3, 3, 3).astype(np.float32) * 0.05
+        sd[f"{prefix}.tail.bias"] = np.zeros(cfg.nc_im, np.float32)
+
+    stack("decoder", cfg.latent_dim)
+    for k in range(n_stages):
+        stack(f"body.{k}", cfg.nc_im)
+    return {"state_dict": sd}
+
+
+def _p2m_netG_3d(sd):
+    """pt2ms.p2m_HPVAEGAN_3d:129-188 — identical to 2D except
+    norm. -> 1.bn2d. (:175)."""
+    new = {}
+    for key, value in sd.items():
+        if "norm." in key and ("decoder." in key or "body." in key):
+            key = key.replace("norm.", "norm.bn2d$", 1)  # placeholder
+        k2 = {}
+        # reuse the 2D mapper, then expand the placeholder: 2D maps
+        # norm.->1., so 'norm.bn2d$gamma' arrives as '1.bn2d$gamma'
+        for kk, vv in _p2m_netG({key: value}).items():
+            k2[kk.replace("bn2d$", "bn2d.")] = vv
+        new.update(k2)
+    return new
+
+
+def test_m2j_generator_3d_matches_p2j():
+    cfg = _cfg()
+    torch_ckpt = _fake_torch_netG_3d(cfg, n_stages=3)
+    want_p, want_s = p2j_HPVAEGAN(torch_ckpt, ndim=3)
+    ms = _p2m_netG_3d(torch_ckpt["state_dict"])
+    assert any(".bn2d." in k for k in ms)  # the 3D BN level is exercised
+    got_p, got_s = m2j_HPVAEGAN(ms, ndim=3)
+    _trees_equal(want_p, got_p)
+    _trees_equal(want_s, got_s)
+
+
 def test_m2j_discriminator_matches_p2j():
     cfg = _cfg()
     torch_ckpt = _fake_torch_netD(cfg)
