@@ -421,7 +421,25 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
         cfg.scale_idx = resumed_idx = int(inter["scale_idx"])
         resume_dir = os.path.dirname(cfg.netG)
         from ..utils.saver import load_pytree
-        ckpt = load_pytree(cfg.netG)
+        if cfg.netG.endswith(".pth"):
+            # continue training a reference-trained torch experiment
+            # (reference resumes only from its own .ckpt, train_image.py:374)
+            from ..tools.convert import load_torch_checkpoint, p2j_HPVAEGAN
+            params, st = p2j_HPVAEGAN(load_torch_checkpoint(cfg.netG),
+                                      ndim=ndim)
+            ckpt = {"params": params, "state": st}
+        else:
+            from ..tools.ms_ckpt import is_ms_checkpoint, load_ms_checkpoint
+            if is_ms_checkpoint(cfg.netG):
+                # MindSpore-saved generator (the reference's own resume
+                # format, train_image.py:374-377); content-sniffed — our
+                # pytree checkpoints share the .ckpt suffix
+                from ..tools.convert import m2j_HPVAEGAN
+                params, st = m2j_HPVAEGAN(load_ms_checkpoint(cfg.netG),
+                                          ndim=ndim)
+                ckpt = {"params": params, "state": st}
+            else:
+                ckpt = load_pytree(cfg.netG)
         if inter.get("inflight") \
                 and os.path.basename(cfg.netG) == inter["inflight"]:
             # mid-scale resume (--ckpt-interval): the inflight ckpt carries

@@ -282,6 +282,54 @@ def test_m2j_discriminator_matches_p2j():
     _trees_equal(want_s, got_s)
 
 
+def test_train_resume_from_ms_checkpoint(tmp_path):
+    """The reference's --netG training resume takes a MindSpore .ckpt
+    (train_image.py:374-377) — a converted reference experiment must be
+    continuable: the trainer retrains the resumed scale from the converted
+    params and completes with the full artifact contract."""
+    import json
+
+    from hpvaegan_tpu.config import Config
+    from hpvaegan_tpu.training.trainer import run_training
+
+    img = os.path.join(os.path.dirname(__file__), "..", "data", "imgs",
+                       "air_balloons.jpg")
+
+    def mkcfg(run_dir):
+        return Config(image_path=img, checkname="ms", nfc=8, latent_dim=8,
+                      num_layer=1, enc_blocks=1, niter=2, img_size=24,
+                      min_size=12, max_size=24, vae_levels=1,
+                      print_interval=100, compile_ahead=False,
+                      run_dir=run_dir, manualSeed=1).finalize()
+
+    # a completed run provides the experiment layout (args/intermediate)
+    cfg_a = mkcfg(str(tmp_path / "a"))
+    run_training(cfg_a, mode="image", seed=1)
+    exp = cfg_a.saver.experiment_dir
+    with open(os.path.join(exp, "intermediate.json")) as f:
+        inter = json.load(f)
+    k = int(inter["scale_idx"])
+    assert k >= 1
+
+    # fabricate a reference-style MindSpore netG_<k>.ckpt at this config
+    # (body length k — the same convention: netG_k retrains scale k)
+    torch_ckpt = _fake_torch_netG(cfg_a, n_stages=k)
+    ms_path = os.path.join(exp, "netG_ms.ckpt")
+    save_ms_checkpoint(_p2m_netG(torch_ckpt["state_dict"]), ms_path)
+
+    cfg_b = mkcfg(str(tmp_path / "b"))
+    cfg_b.netG = ms_path
+    cfg_b.intermediate = os.path.join(exp, "intermediate.json")
+    g_b, _, amps_b, saver_b = run_training(cfg_b, mode="image", seed=1)
+
+    assert len(g_b["body"]) == k  # retrained scale k, no extra growth
+    assert len(amps_b) == k + 1
+    assert os.path.exists(os.path.join(saver_b.experiment_dir,
+                                       f"netG_{k}.ckpt"))
+    # the resumed scale's amp was recalibrated from the converted params
+    assert amps_b[:k] == inter["noise_amps"][:k]
+
+
 # ---- converted checkpoint drives the model ----------------------------------
 
 def test_ms_loaded_generator_runs(tmp_path):
