@@ -58,6 +58,7 @@ def load_generator(cfg, exp_dir: str, ndim: int, netG: str = ""):
         cfg.scale_idx = inter["scale_idx"]
         cfg.Noise_Amps = inter["noise_amps"][:cfg.scale_idx + 1]
         params, state = p2j_HPVAEGAN(raw, ndim=ndim)
+        _check_body(params, cfg, path)
         return params, state, saver
     from .tools.ms_ckpt import is_ms_checkpoint, load_ms_checkpoint
     if is_ms_checkpoint(path):
@@ -66,9 +67,26 @@ def load_generator(cfg, exp_dir: str, ndim: int, netG: str = ""):
         # by file content, not extension
         from .tools.convert import m2j_HPVAEGAN
         params, state = m2j_HPVAEGAN(load_ms_checkpoint(path), ndim=ndim)
+        _check_body(params, cfg, path)
         return params, state, saver
     ckpt = load_pytree(path)
+    _check_body(ckpt["params"], cfg, path)
     return ckpt["params"], ckpt["state"], saver
+
+
+def _check_body(params, cfg, path: str) -> None:
+    """A stage-count/scale mismatch must fail loudly: the per-stage amp
+    lookup is a jnp gather, and an out-of-range index CLAMPS silently
+    instead of erroring (the reference fails at load_param_into_net).
+    HPVAEGAN family only — the CSG/SG baselines' 'body' holds conv layers,
+    not per-scale stages."""
+    if cfg.generator not in ("GeneratorHPVAEGAN", "GeneratorVAE_nb"):
+        return
+    if len(params["body"]) != cfg.scale_idx:
+        raise RuntimeError(
+            f"checkpoint {path!r} has {len(params['body'])} refinement "
+            f"stages but intermediate.json says scale_idx={cfg.scale_idx} "
+            f"(expected {cfg.scale_idx} stages — netG_<k>.ckpt carries k)")
 
 
 def eval_mesh(cfg):

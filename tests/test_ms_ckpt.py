@@ -330,6 +330,29 @@ def test_train_resume_from_ms_checkpoint(tmp_path):
     assert amps_b[:k] == inter["noise_amps"][:k]
 
 
+def test_eval_guard_rejects_stage_scale_mismatch(tmp_path):
+    """An out-of-range per-stage amp index would CLAMP silently in the jnp
+    gather — the eval loader must reject a checkpoint whose stage count
+    disagrees with intermediate.json's scale_idx."""
+    import json
+
+    from hpvaegan_tpu.evaluation import load_generator
+
+    cfg = _cfg()
+    cfg.generator = "GeneratorHPVAEGAN"
+    cfg.scale_idx = -1
+    exp = str(tmp_path)
+    with open(os.path.join(exp, "intermediate.json"), "w") as f:
+        json.dump({"scale_idx": 2, "noise_amps": [1.0, 0.1, 0.05]}, f)
+    torch_ckpt = _fake_torch_netG(cfg, n_stages=3)  # one stage too many
+    path = os.path.join(exp, "netG_2.ckpt")
+    save_ms_checkpoint(_p2m_netG(torch_ckpt["state_dict"]), path)
+    cfg.run_dir = exp
+    cfg.experiment_dir = exp
+    with pytest.raises(RuntimeError, match="refinement.*stages"):
+        load_generator(cfg, exp, ndim=2)
+
+
 # ---- converted checkpoint drives the model ----------------------------------
 
 def test_ms_loaded_generator_runs(tmp_path):
