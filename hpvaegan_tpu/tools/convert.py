@@ -339,6 +339,144 @@ def m2j_WDiscriminator(ms_ckpt: Dict, ndim: int = 2) -> Tuple[Dict, Dict]:
     return p2j_WDiscriminator(_m2t_discriminator(ms_ckpt), ndim=ndim)
 
 
+def _conv_w_inv(w, ndim: int):
+    """Our HWIO/DHWIO conv weight back to torch OIHW/OIDHW."""
+    w = np.asarray(w, np.float32)
+    if ndim == 2:
+        return np.transpose(w, (3, 2, 0, 1))
+    return np.transpose(w, (4, 3, 0, 1, 2))
+
+
+def _sn_v_perm_inv(v, w_oihw_shape, ndim: int):
+    """Our v over (*K, I) C-order back to torch's (I, *K) order."""
+    v = np.asarray(v, np.float32).reshape(-1)
+    if ndim == 2:
+        o, i, kh, kw = w_oihw_shape
+        idx = np.arange(i * kh * kw).reshape(i, kh, kw)
+        perm = np.transpose(idx, (1, 2, 0)).reshape(-1)
+    else:
+        o, i, kd, kh, kw = w_oihw_shape
+        idx = np.arange(i * kd * kh * kw).reshape(i, kd, kh, kw)
+        perm = np.transpose(idx, (1, 2, 3, 0)).reshape(-1)
+    out = np.empty_like(v)
+    out[perm] = v  # inverse of the forward gather v[perm]
+    return out
+
+
+def _j2t_sn(prefix: str, p: Dict, s: Dict, out: Dict, ndim: int) -> None:
+    w = _conv_w_inv(p["snconv"]["w"], ndim)
+    out[f"{prefix}.weight_orig"] = w
+    out[f"{prefix}.bias"] = np.asarray(p["snconv"]["b"], np.float32)
+    out[f"{prefix}.weight_u"] = np.asarray(s["sn"]["u"], np.float32)
+    out[f"{prefix}.weight_v"] = _sn_v_perm_inv(s["sn"]["v"], w.shape, ndim)
+
+
+def _j2t_stack(prefix: str, p: Dict, s: Dict, out: Dict, ndim: int) -> None:
+    for i, (bp, bs) in enumerate(zip(p["blocks"], s["blocks"])):
+        name = "head" if i == 0 else f"block{i - 1}"
+        out[f"{prefix}.{name}.conv.weight"] = _conv_w_inv(
+            bp["conv"]["w"], ndim)
+        out[f"{prefix}.{name}.conv.bias"] = np.asarray(bp["conv"]["b"],
+                                                       np.float32)
+        out[f"{prefix}.{name}.norm.weight"] = np.asarray(bp["bn"]["gamma"],
+                                                         np.float32)
+        out[f"{prefix}.{name}.norm.bias"] = np.asarray(bp["bn"]["beta"],
+                                                       np.float32)
+        out[f"{prefix}.{name}.norm.running_mean"] = np.asarray(
+            bs["bn"]["mean"], np.float32)
+        out[f"{prefix}.{name}.norm.running_var"] = np.asarray(
+            bs["bn"]["var"], np.float32)
+    out[f"{prefix}.tail.weight"] = _conv_w_inv(p["tail"]["w"], ndim)
+    out[f"{prefix}.tail.bias"] = np.asarray(p["tail"]["b"], np.float32)
+
+
+def j2t_HPVAEGAN(params: Dict, state: Dict, ndim: int = 2) -> Dict:
+    """Our (params, state) pytree -> a torch-style state_dict in the
+    original hp-vae-gan naming (exact inverse of p2j_HPVAEGAN)."""
+    out: Dict = {}
+    for i, (fp, fs) in enumerate(zip(params["encode"]["features"],
+                                     state["encode"]["features"])):
+        _j2t_sn(f"encode.features.conv_block_{i}.conv", fp, fs, out, ndim)
+    for head in ("mu", "logvar", "bern"):
+        if head in params["encode"]:
+            out[f"encode.{head}.conv.weight"] = _conv_w_inv(
+                params["encode"][head]["w"], ndim)
+            out[f"encode.{head}.conv.bias"] = np.asarray(
+                params["encode"][head]["b"], np.float32)
+    _j2t_stack("decoder", params["decoder"], state["decoder"], out, ndim)
+    for k, (sp, ss) in enumerate(zip(params["body"], state["body"])):
+        _j2t_stack(f"body.{k}", sp, ss, out, ndim)
+    return out
+
+
+def t2m_HPVAEGAN(sd: Dict, ndim: int = 2) -> Dict:
+    """Torch state_dict -> MindSpore parameter names (the reference's
+    p2m_HPVAEGAN_2d/3d, pt2ms.py:30-89,129-188, with two generalizations:
+    the tail index is the stack's actual num_layer+1 instead of the
+    hardcoded 6, and the nb Bernoulli head maps symmetrically to _bern —
+    the reference never converts nb models)."""
+    bn = "1.bn2d." if ndim == 3 else "1."
+    # tail index per stack prefix = number of non-tail blocks
+    n_blocks: Dict[str, int] = {}
+    for key in sd:
+        m = re.match(r"((?:decoder)|(?:body\.\d+))\.block(\d+)\.", key)
+        if m:
+            n_blocks[m.group(1)] = max(n_blocks.get(m.group(1), 0),
+                                       int(m.group(2)) + 1)
+    new: Dict = {}
+    for key, value in sd.items():
+        value = np.asarray(value, np.float32)
+        if "num_batches_tracked" in key:
+            continue
+        if key.startswith("encode."):
+            m = re.search(r"features\.conv_block_(\d+)\.", key)
+            if m:
+                key = key.replace(m.group(0), f"_features.{m.group(1)}.")
+            elif "mu" in key:
+                key = key.replace("mu.", "_mu.", 1)
+            elif "logvar" in key:
+                key = key.replace("logvar.", "_logvar.", 1)
+            elif "bern" in key:
+                key = key.replace("bern.", "_bern.", 1)
+            if "conv." in key:
+                key = key.replace("conv.", "0.", 1)
+                key = key.replace("weight_orig", "weight", 1)
+        if key.startswith(("decoder.", "body.")):
+            stack = key.split(".head")[0].split(".block")[0].split(".tail")[0]
+            m = re.match(r"body\.(\d+)\.", key)
+            if m and int(m.group(1)) != 0:
+                key = key.replace("body.", "body.0.0.", 1)
+            if ".head." in key:
+                key = key.replace("head.", "0.", 1)
+            elif re.search(r"block(\d+)\.", key):
+                m2 = re.search(r"block(\d+)\.", key)
+                key = key.replace(m2.group(0), f"{int(m2.group(1)) + 1}.", 1)
+            elif ".tail." in key:
+                key = key.replace("tail.", f"{n_blocks.get(stack, 5) + 1}.",
+                                  1)
+            if "conv." in key:
+                key = key.replace("conv.", "0.", 1)
+            elif "norm." in key:
+                key = key.replace("norm.", bn, 1)
+                for a, b in (("weight", "gamma"), ("bias", "beta"),
+                             ("running_mean", "moving_mean"),
+                             ("running_var", "moving_variance")):
+                    if key.endswith(a):
+                        key = key[:-len(a)] + b
+                        break
+        if "weight_u" in key or "weight_v" in key:
+            value = value.reshape(-1, 1)  # MS stores column vectors
+        new[key] = value
+    return new
+
+
+def j2m_HPVAEGAN(params: Dict, state: Dict, ndim: int = 2) -> Dict:
+    """Our pytree -> MindSpore parameter dict, ready for
+    tools.ms_ckpt.save_ms_checkpoint — TPU-trained generators handed back
+    to the reference's MindSpore tooling (reverse migration)."""
+    return t2m_HPVAEGAN(j2t_HPVAEGAN(params, state, ndim=ndim), ndim=ndim)
+
+
 def load_intermediate(netG_pth) -> Dict:
     """{noise_amps, scale_idx} from a torch checkpoint
     (reference: pt2ms.py:195-197)."""

@@ -353,6 +353,58 @@ def test_eval_guard_rejects_stage_scale_mismatch(tmp_path):
         load_generator(cfg, exp, ndim=2)
 
 
+# ---- reverse migration (ours -> MindSpore) ----------------------------------
+
+def _grown_generator(ndim: int, n_stages: int = 2):
+    from hpvaegan_tpu import models
+
+    cfg = _cfg()
+    g_init, _ = models.get_generator("GeneratorHPVAEGAN", ndim)
+    params, state = g_init(cfg, jax.random.PRNGKey(0))
+    if ndim == 2:
+        from hpvaegan_tpu.models.networks_2d import generator_init_next_stage
+    else:
+        from hpvaegan_tpu.models.networks_3d import generator_init_next_stage
+    for i in range(n_stages):
+        params, state = generator_init_next_stage(cfg, params, state,
+                                                  jax.random.PRNGKey(i + 1))
+    return cfg, params, state
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_j2m_m2j_roundtrip(ndim, tmp_path):
+    """Ours -> MindSpore file -> ours is exact: transposes, SN u/v
+    permutations, BN stats and the stage/stack naming all invert."""
+    from hpvaegan_tpu.tools.convert import j2m_HPVAEGAN
+
+    _, params, state = _grown_generator(ndim)
+    ms = j2m_HPVAEGAN(params, state, ndim=ndim)
+    path = str(tmp_path / "rt.ckpt")
+    save_ms_checkpoint(ms, path)
+    got_p, got_s = m2j_HPVAEGAN(load_ms_checkpoint(path), ndim=ndim)
+    _trees_equal(params, got_p)
+    _trees_equal(got_s, state)
+
+
+def test_j2m_names_match_reference_layout():
+    """The emitted MindSpore names follow the reference's p2m layout (spot
+    checks against pt2ms.py's documented renames)."""
+    from hpvaegan_tpu.tools.convert import j2m_HPVAEGAN
+
+    _, params, state = _grown_generator(2, n_stages=3)
+    ms = j2m_HPVAEGAN(params, state, ndim=2)
+    assert "encode._features.0.0.weight" in ms
+    assert "encode._features.0.0.weight_u" in ms
+    assert "encode._mu.0.weight" in ms
+    assert "decoder.0.0.weight" in ms          # head conv
+    assert "decoder.1.1.gamma" in ms           # block0 BN
+    assert "body.0.0.0.weight" in ms           # stage 0 head conv
+    assert "body.0.0.2.0.0.weight" in ms       # stage 2 head conv
+    assert any(k.endswith(".moving_mean") for k in ms)
+    # u/v are MindSpore column vectors
+    assert ms["encode._features.0.0.weight_u"].ndim == 2
+
+
 # ---- converted checkpoint drives the model ----------------------------------
 
 def test_ms_loaded_generator_runs(tmp_path):
