@@ -49,6 +49,21 @@ def init_next_stage(cfg, g_params, g_state, key, ndim: int):
                                                         g_state, key)
 
 
+def _load_netD(saver: DataSaver, filename: str, path, ndim: int):
+    """netD warm-start load with content dispatch: resuming a
+    reference-trained experiment (--netG on its MindSpore netG) finds
+    MindSpore netD_<k-1>.ckpt files in the same directory."""
+    import os
+
+    full = os.path.join(path or saver.experiment_dir, filename)
+    from ..tools.ms_ckpt import is_ms_checkpoint, load_ms_checkpoint
+    if os.path.isfile(full) and is_ms_checkpoint(full):
+        from ..tools.convert import m2j_WDiscriminator
+        p, s = m2j_WDiscriminator(load_ms_checkpoint(full), ndim=ndim)
+        return {"params": p, "state": s}
+    return saver.load_checkpoint(filename, path=path)
+
+
 def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
                 noise_amps: List[float], key, ndim: int,
                 resumed_idx: int = -1, resume_dir: str = "",
@@ -82,11 +97,12 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
         if not vae_phase:
             try:
                 if resumed_idx == scale_idx and resume_dir:
-                    ckpt = saver.load_checkpoint(f"netD_{scale_idx - 1}.ckpt",
-                                                 path=resume_dir)
+                    ckpt = _load_netD(saver, f"netD_{scale_idx - 1}.ckpt",
+                                      resume_dir, ndim)
                     d_params, d_state = ckpt["params"], ckpt["state"]
                 elif cfg.vae_levels < scale_idx:
-                    ckpt = saver.load_checkpoint(f"netD_{scale_idx - 1}.ckpt")
+                    ckpt = _load_netD(saver, f"netD_{scale_idx - 1}.ckpt",
+                                      None, ndim)
                     d_params, d_state = ckpt["params"], ckpt["state"]
             except FileNotFoundError:
                 logging.warning("no previous netD checkpoint to warm-start from")

@@ -316,6 +316,10 @@ def test_train_resume_from_ms_checkpoint(tmp_path):
     torch_ckpt = _fake_torch_netG(cfg_a, n_stages=k)
     ms_path = os.path.join(exp, "netG_ms.ckpt")
     save_ms_checkpoint(_p2m_netG(torch_ckpt["state_dict"]), ms_path)
+    # the D warm-start in the same directory is MindSpore-format too
+    netD = _fake_torch_netD(cfg_a)
+    save_ms_checkpoint(_p2m_netD(netD["state_dict"]),
+                       os.path.join(exp, f"netD_{k - 1}.ckpt"))
 
     cfg_b = mkcfg(str(tmp_path / "b"))
     cfg_b.netG = ms_path
