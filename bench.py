@@ -265,8 +265,92 @@ def bench_video_scale(scale_idx: int = 6, iters: int = 16,
     return n * cfg.steps_per_call / (time.perf_counter() - t0)
 
 
+def _supervised_reexec() -> None:
+    """Run the real bench in a CHILD process and retry transport wedges.
+
+    The remote-TPU tunnel occasionally wedges a process indefinitely at
+    device init or a d2h readback (observed round 3: jax.devices() hung
+    >25 min with the process at 0% CPU). The wedge is per-process — a
+    fresh process usually heals — so the parent supervises: forward the
+    child's output, kill it if it goes silent for BENCH_STALL_SECS
+    (default 900 s; the longest legitimate silence is the ~6 min finest
+    remote compile) or exceeds BENCH_ATTEMPT_DEADLINE (default 3600 s),
+    and retry up to BENCH_ATTEMPTS (default 3) times. stdout keeps the
+    one-JSON-line contract: only the child's last stdout line is emitted."""
+    import subprocess
+    import threading
+
+    rc, line = supervise(
+        [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+        attempts=int(os.environ.get("BENCH_ATTEMPTS", "3")),
+        stall_s=float(os.environ.get("BENCH_STALL_SECS", "900")),
+        deadline_s=float(os.environ.get("BENCH_ATTEMPT_DEADLINE", "3600")))
+    if rc == 0:
+        sys.stdout.write(line)
+        sys.stdout.flush()
+    sys.exit(rc)
+
+
+def supervise(child_argv, attempts: int, stall_s: float, deadline_s: float,
+              poll_s: float = 1.0):
+    """Run child_argv with retries; returns (rc, last_stdout_line).
+
+    A child is killed when silent (no stdout/stderr) for stall_s or older
+    than deadline_s; each retry is a fresh process. Child stderr is
+    forwarded live; stdout is captured (the JSON contract line)."""
+    import subprocess
+    import threading
+
+    for attempt in range(1, attempts + 1):
+        env = dict(os.environ, _BENCH_CHILD="1")
+        proc = subprocess.Popen(child_argv, env=env, stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True)
+        t0 = time.time()
+        last = [time.time()]
+        out_lines = []
+
+        def pump(stream, sink):
+            for line in stream:
+                last[0] = time.time()
+                sink(line)
+
+        threads = [
+            threading.Thread(target=pump, args=(
+                proc.stderr,
+                lambda l: print(l, end="", file=sys.stderr, flush=True)),
+                daemon=True),
+            threading.Thread(target=pump, args=(proc.stdout,
+                                                out_lines.append),
+                             daemon=True),
+        ]
+        for t in threads:
+            t.start()
+        why = ""
+        while proc.poll() is None:
+            time.sleep(poll_s)
+            if time.time() - last[0] > stall_s:
+                why = f"silent for {stall_s:.0f}s (transport wedge?)"
+            elif time.time() - t0 > deadline_s:
+                why = f"over the {deadline_s:.0f}s attempt deadline"
+            if why:
+                log(f"bench supervisor: attempt {attempt} {why} — killing")
+                proc.kill()
+                break
+        proc.wait()
+        for t in threads:
+            t.join(timeout=10)
+        if proc.returncode == 0 and out_lines:
+            return 0, out_lines[-1]
+        log(f"bench supervisor: attempt {attempt} rc={proc.returncode}; "
+            f"{'retrying in a fresh process' if attempt < attempts else 'giving up'}")
+    return 1, ""
+
+
 def main():
     import argparse
+
+    if os.environ.get("_BENCH_CHILD") != "1":
+        _supervised_reexec()
 
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=64)

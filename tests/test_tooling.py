@@ -41,6 +41,42 @@ def test_bench_harness_builders_wire_up():
     assert jax.tree_util.tree_leaves(vstate.g_params)
 
 
+def test_bench_supervisor_passthrough_and_wedge_retry(tmp_path):
+    """bench's parent supervisor (transport wedges are per-process): a
+    healthy child's last stdout line is returned; a silently-hung child is
+    killed on the stall deadline and a fresh attempt can heal."""
+    import sys
+
+    import bench
+
+    # healthy child
+    rc, line = bench.supervise(
+        [sys.executable, "-c", "print('{\"metric\": 1}')"],
+        attempts=1, stall_s=30, deadline_s=60, poll_s=0.1)
+    assert rc == 0 and line.strip() == '{"metric": 1}'
+
+    # wedge on attempt 1 (silent sleep), heal on attempt 2 via a flag file
+    flag = tmp_path / "tried"
+    child = (
+        "import os, sys, time\n"
+        f"flag = {str(flag)!r}\n"
+        "if not os.path.exists(flag):\n"
+        "    open(flag, 'w').close()\n"
+        "    time.sleep(60)\n"  # silent: no output -> stall kill
+        "print('healed')\n")
+    rc, line = bench.supervise([sys.executable, "-c", child],
+                               attempts=2, stall_s=8, deadline_s=120,
+                               poll_s=0.1)  # stall >> interpreter startup
+    # (the 1-core host can take seconds to exec python -c)
+    assert rc == 0 and line.strip() == "healed" and flag.exists()
+
+    # persistent wedge -> rc 1
+    rc, line = bench.supervise(
+        [sys.executable, "-c", "import time; time.sleep(120)"],
+        attempts=2, stall_s=8, deadline_s=120, poll_s=0.1)
+    assert rc == 1 and line == ""
+
+
 def test_categorize_uses_instruction_name_only():
     from analyze_xplane import categorize
     # a fusion whose OPERANDS mention %copy must not land in the copy bucket
