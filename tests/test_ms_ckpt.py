@@ -357,6 +357,41 @@ def test_eval_guard_rejects_stage_scale_mismatch(tmp_path):
         load_generator(cfg, exp, ndim=2)
 
 
+def test_reference_args_txt_hydrates(tmp_path):
+    """A REFERENCE experiment's args.txt (train_image.py:336-339 writes
+    'key: value' lines for every opt attr, including MindSpore-only keys
+    and post-adjust derived values) must hydrate our Config: unknown keys
+    skipped, derived fields land."""
+    from hpvaegan_tpu.config import Config
+
+    lines = {
+        # reference-only keys our Config must skip
+        "device_id": "0", "device_target": "Ascend", "data_rep": "1000",
+        "netG": "", "checkname": "DEV", "mode": "train",
+        # shared surface (post-adjust values as the reference writes them)
+        "image_path": "data/imgs/air_balloons.jpg",
+        "img_size": "256", "min_size": "32", "max_size": "256",
+        "scale_factor": "0.7937005259840998", "scale_factor_init": "0.75",
+        "stop_scale": "9", "num_scales": "10", "scale_idx": "0",
+        "ar": "0.7490636704119851",
+        "nfc": "64", "latent_dim": "128", "num_layer": "5",
+        "enc_blocks": "2", "vae_levels": "3", "niter": "5000",
+        "lr_g": "0.0005", "lr_d": "0.0005", "batch_size": "2",
+        "sampling_rates": "[4, 3, 2, 1]", "hflip": "True",
+        "train_depth": "1", "grad_clip": "5",
+    }
+    p = tmp_path / "args.txt"
+    p.write_text("".join(f"{k}: {v}\n" for k, v in sorted(lines.items())))
+    cfg = Config.from_args_txt(str(p))
+    assert cfg.img_size == 256 and cfg.nfc == 64
+    assert abs(cfg.scale_factor - 0.7937005259840998) < 1e-12
+    assert cfg.stop_scale == 9
+    assert cfg.sampling_rates == [4, 3, 2, 1]
+    assert cfg.hflip is True
+    assert abs(cfg.ar - 0.7490636704119851) < 1e-12
+    assert not hasattr(cfg, "device_target")  # unknown keys skipped
+
+
 # ---- reverse migration (ours -> MindSpore) ----------------------------------
 
 def _grown_generator(ndim: int, n_stages: int = 2):
