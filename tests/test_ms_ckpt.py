@@ -152,6 +152,24 @@ def test_ckpt_bf16_roundtrip(tmp_path):
     np.testing.assert_array_equal(back["x"], x)
 
 
+def test_ckpt_malformed_inputs_fail_loudly(tmp_path):
+    p = str(tmp_path / "bad.ckpt")
+    # truncated varint / length header
+    with open(p, "wb") as f:
+        f.write(b"\x0a\xff\xff")
+    with pytest.raises((ValueError, IndexError)):
+        load_ms_checkpoint(p)
+    # unsupported dtype name
+    with pytest.raises(ValueError, match="unsupported"):
+        save_ms_checkpoint({"x": np.zeros(2, np.complex64)},
+                           str(tmp_path / "c.ckpt"))
+    # empty file: not an MS checkpoint, and loads as zero parameters
+    e = str(tmp_path / "empty.ckpt")
+    open(e, "wb").close()
+    assert not is_ms_checkpoint(e)
+    assert load_ms_checkpoint(e) == {}
+
+
 def test_content_sniff_vs_pickled_pytree(tmp_path):
     ms_path = str(tmp_path / "ms.ckpt")
     save_ms_checkpoint({"x": np.ones(3, np.float32)}, ms_path)
