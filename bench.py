@@ -287,7 +287,16 @@ def _supervised_reexec() -> None:
         deadline_s=float(os.environ.get("BENCH_ATTEMPT_DEADLINE", "3600")))
     if rc == 0:
         sys.stdout.write(line)
-        sys.stdout.flush()
+    else:
+        # still one parseable JSON line, honestly null — a transport outage
+        # must be diagnosable from the recorded artifact (observed: the
+        # tunnel wedged every process for hours, docs/PERF.md)
+        print(json.dumps({
+            "metric": "train_steps_per_sec_finest_scale_256px_image",
+            "value": None, "unit": "steps/sec", "vs_baseline": None,
+            "error": "all bench attempts failed or wedged — TPU transport "
+                     "outage? (see docs/PERF.md, Measurement integrity)"}))
+    sys.stdout.flush()
     sys.exit(rc)
 
 
