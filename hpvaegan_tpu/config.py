@@ -129,6 +129,11 @@ class Config:
     mesh_data: int = 1  # data-parallel mesh axis size (batched sampling/training)
     mesh_sp: int = 1  # spatial mesh axis size (H sharded when divisible; XLA
     #                   SPMD inserts the conv halo exchanges over ICI)
+    dist_coordinator: str = ""  # multi-process bootstrap: "auto" (TPU pod
+    #                   discovery) or host:port (+ dist_nprocs/dist_procid).
+    #                   Empty = single-process (parallel/multihost.py).
+    dist_nprocs: int = 0  # process count for explicit-coordinator bootstrap
+    dist_procid: int = -1  # this process's id for explicit bootstrap
     device_id: int = 0  # which jax.devices() entry to run on (reference:
     #                     train_image.py:276 context.set_context(device_id))
     run_dir: str = "run"  # experiment root (reference hard-codes 'run/')

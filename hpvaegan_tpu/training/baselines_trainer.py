@@ -181,9 +181,11 @@ def _train_baseline_scale(cfg, g_apply, d_apply, d_init, dataset, saver,
             f"inflight iteration {start_iter} is not a multiple of "
             f"steps_per_call={spc}; resume with the original "
             f"--steps-per-call (or one that divides {start_iter})")
+    from ..parallel import multihost as _mh
     bar = create_progressbar(total=cfg.niter, initial=start_iter,
                              desc=f"Training scale [{scale_idx + 1}/"
-                                  f"{cfg.stop_scale + 1}]")
+                                  f"{cfg.stop_scale + 1}]",
+                             disable=not _mh.is_primary())
     t0 = time.time()
     metrics = {}
     for iteration in range(start_iter, cfg.niter, spc):
@@ -233,12 +235,18 @@ def run_training(cfg, seed: int = 0, step_callback=None):
     from ..parallel.mesh import select_device
     select_device(cfg.device_id)
 
-    saver = getattr(cfg, "saver", None) or DataSaver(cfg)
+    # multi-process: primary owns all writes (see trainer.run_training);
+    # non-primary NullSavers still READ the shared experiment dir for the
+    # per-scale netD warm-start below
+    from ..parallel import multihost
+    saver = multihost.select_saver(
+        cfg, lambda: getattr(cfg, "saver", None) or DataSaver(cfg))
     cfg.saver = saver
     dataset = SingleVideoDataset(cfg)
     # re-persist args.txt after the dataset computed ar/org_fps/fps_lcm
     # (eval re-hydrates geometry from it)
-    cfg.write_args_txt(os.path.join(saver.experiment_dir, "args.txt"))
+    if multihost.is_primary():
+        cfg.write_args_txt(os.path.join(saver.experiment_dir, "args.txt"))
 
     key = jax.random.PRNGKey(seed)
     key, kg, kz = jax.random.split(key, 3)
@@ -299,9 +307,11 @@ def run_training(cfg, seed: int = 0, step_callback=None):
         z_init = jax.random.normal(kz, (1, td0, h0, w0, cfg.nc_im))
     # atomic like every other resume artifact: Z_init IS the reconstruction
     # target, and a supervisor kill during startup must not truncate it
-    _z_dst = os.path.join(saver.experiment_dir, "Z_init.npy")
-    np.save(_z_dst + ".tmp.npy", np.asarray(z_init))
-    os.replace(_z_dst + ".tmp.npy", _z_dst)
+    # (identical on every process — same seed, same draw — so primary-only)
+    if multihost.is_primary():
+        _z_dst = os.path.join(saver.experiment_dir, "Z_init.npy")
+        np.save(_z_dst + ".tmp.npy", np.asarray(z_init))
+        os.replace(_z_dst + ".tmp.npy", _z_dst)
     g_apply = make_baseline_g_apply(base_apply, z_init)
 
     while cfg.scale_idx < cfg.stop_scale + 1:
@@ -328,4 +338,5 @@ def run_training(cfg, seed: int = 0, step_callback=None):
             train_fn, cfg, g_params, g_state, key)
         cfg.scale_idx += 1
 
+    multihost.sync("baselines_run_training_end")
     return g_params, g_state, noise_amps, saver

@@ -219,9 +219,13 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
             f"inflight iteration {start_iter} is not a multiple of "
             f"steps_per_call={spc}; resume with the original "
             f"--steps-per-call (or one that divides {start_iter})")
+    from ..parallel import multihost
     bar = create_progressbar(
         total=cfg.niter, initial=start_iter,
-        desc="Training scale [{}/{}]".format(scale_idx + 1, cfg.stop_scale + 1))
+        desc="Training scale [{}/{}]".format(scale_idx + 1, cfg.stop_scale + 1),
+        # one bar per run: non-primary pod processes mirror the computation
+        # but not the console/logbook throughput line
+        disable=not multihost.is_primary())
 
     # visualization programs are built ONCE per scale (a fresh jit closure
     # per call would recompile the full generator at every image interval)
@@ -400,7 +404,12 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
     from ..parallel.mesh import select_device
     select_device(cfg.device_id)
 
-    saver = getattr(cfg, "saver", None) or DataSaver(cfg)
+    # multi-process runs (TPU pods; parallel/multihost.py): exactly one
+    # process owns file IO — the rest compute the identical replicated
+    # program against a NullSaver (shared-FS writes would otherwise race)
+    from ..parallel import multihost
+    saver = multihost.select_saver(
+        cfg, lambda: getattr(cfg, "saver", None) or DataSaver(cfg))
     cfg.saver = saver
 
     if mode == "image":
@@ -412,8 +421,9 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
     # (ar, org_fps, fps_lcm) — the reference writes args.txt after building
     # the dataset (train_image.py:323-339); eval/export re-hydrate from it,
     # so a pre-dataset snapshot would bake ar=1.0 into their geometry
-    import os as _os
-    cfg.write_args_txt(_os.path.join(saver.experiment_dir, "args.txt"))
+    if multihost.is_primary():
+        import os as _os
+        cfg.write_args_txt(_os.path.join(saver.experiment_dir, "args.txt"))
 
     seed = seed if seed is not None else (cfg.manualSeed or 0)
     key = jax.random.PRNGKey(seed)
@@ -512,4 +522,7 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
                      time.time() - t0, cfg.niter / max(time.time() - t0, 1e-9))
         cfg.scale_idx += 1
 
+    # pods: don't let a non-primary teardown race the primary's final
+    # checkpoint write (launchers commonly kill stragglers on first exit)
+    multihost.sync("run_training_end")
     return g_params, g_state, noise_amps, saver

@@ -91,6 +91,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--mesh-sp', type=int, default=1,
                         help='spatial mesh axis (H sharded when divisible; '
                              'XLA SPMD inserts the conv halo exchanges)')
+    parser.add_argument('--dist-coordinator', type=str, default='',
+                        help="multi-process bootstrap: 'auto' (TPU pod "
+                             'discovery) or host:port with --dist-nprocs/'
+                             '--dist-procid; process 0 owns all file IO')
+    parser.add_argument('--dist-nprocs', type=int, default=0,
+                        help='process count (explicit-coordinator bootstrap)')
+    parser.add_argument('--dist-procid', type=int, default=-1,
+                        help="this process's id (explicit bootstrap)")
     parser.add_argument('--paired-g', action='store_true', default=False,
                         help='GAN-phase G step: recon+fake as one width-2B '
                              'forward with per-half BN stats (exact; '
@@ -151,22 +159,31 @@ def main():
     args = build_parser().parse_args()
     cfg = cfg_from_args(args).finalize()
 
+    from hpvaegan_tpu.parallel import multihost
+    if cfg.dist_coordinator:
+        multihost.init_distributed(
+            cfg.dist_coordinator,
+            num_processes=cfg.dist_nprocs or None,
+            process_id=cfg.dist_procid if cfg.dist_procid >= 0 else None)
+
     if cfg.manualSeed is None:
         cfg.manualSeed = random.randint(1, 10000)
+    cfg.manualSeed = multihost.agree_seed(cfg.manualSeed)
     random.seed(cfg.manualSeed)
 
-    cfg.saver = DataSaver(cfg)
-    hlog.configure_logging(os.path.abspath(
-        os.path.join(cfg.saver.experiment_dir, 'logbook.txt')))
-    logging.info('Random Seed: %s', cfg.manualSeed)
+    if multihost.is_primary():
+        cfg.saver = DataSaver(cfg)
+        hlog.configure_logging(os.path.abspath(
+            os.path.join(cfg.saver.experiment_dir, 'logbook.txt')))
+        logging.info('Random Seed: %s', cfg.manualSeed)
 
-    cfg.write_args_txt(os.path.join(cfg.saver.experiment_dir, 'args.txt'))
-    with hlog.LoggingBlock('Experiment Summary', emph=True):
-        logging.info('Experiment dir: %s', cfg.saver.experiment_dir)
-        logging.info('Generator      : %s', cfg.generator)
-        logging.info('Iterations     : %s', cfg.niter)
-        logging.info('Rec. Weight    : %s', cfg.rec_weight)
-        logging.info('Scales         : %s', cfg.stop_scale + 1)
+        cfg.write_args_txt(os.path.join(cfg.saver.experiment_dir, 'args.txt'))
+        with hlog.LoggingBlock('Experiment Summary', emph=True):
+            logging.info('Experiment dir: %s', cfg.saver.experiment_dir)
+            logging.info('Generator      : %s', cfg.generator)
+            logging.info('Iterations     : %s', cfg.niter)
+            logging.info('Rec. Weight    : %s', cfg.rec_weight)
+            logging.info('Scales         : %s', cfg.stop_scale + 1)
 
     from hpvaegan_tpu.utils.profiling import trace
     with trace(getattr(args, 'profile_dir', '')):

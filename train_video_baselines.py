@@ -24,15 +24,24 @@ def main():
     args = parser.parse_args()
     cfg = cfg_from_args(args).finalize()
 
+    from hpvaegan_tpu.parallel import multihost
+    if cfg.dist_coordinator:
+        multihost.init_distributed(
+            cfg.dist_coordinator,
+            num_processes=cfg.dist_nprocs or None,
+            process_id=cfg.dist_procid if cfg.dist_procid >= 0 else None)
+
     if cfg.manualSeed is None:
         cfg.manualSeed = random.randint(1, 10000)
+    cfg.manualSeed = multihost.agree_seed(cfg.manualSeed)
     random.seed(cfg.manualSeed)
 
-    cfg.saver = DataSaver(cfg)
-    hlog.configure_logging(os.path.abspath(
-        os.path.join(cfg.saver.experiment_dir, 'logbook.txt')))
-    logging.info('Random Seed: %s', cfg.manualSeed)
-    cfg.write_args_txt(os.path.join(cfg.saver.experiment_dir, 'args.txt'))
+    if multihost.is_primary():
+        cfg.saver = DataSaver(cfg)
+        hlog.configure_logging(os.path.abspath(
+            os.path.join(cfg.saver.experiment_dir, 'logbook.txt')))
+        logging.info('Random Seed: %s', cfg.manualSeed)
+        cfg.write_args_txt(os.path.join(cfg.saver.experiment_dir, 'args.txt'))
 
     run_training(cfg, seed=cfg.manualSeed)
 
