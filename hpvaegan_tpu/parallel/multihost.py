@@ -91,6 +91,21 @@ def sync(tag: str = "barrier") -> None:
     multihost_utils.sync_global_devices(tag)
 
 
+def to_host(x):
+    """np.asarray for global arrays. Single-process it IS np.asarray; in a
+    multi-process run a batch-sharded array has non-addressable shards and
+    np.asarray raises — allgather the shards across processes first (every
+    process gets the full value; the sampling paths need it for FID stats
+    and artifact dumps)."""
+    import numpy as np
+
+    if not is_multiprocess():
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def agree_seed(seed: Optional[int]) -> Optional[int]:
     """The whole run is one replicated program, so every process must train
     from the SAME seed — but the reference CLI draws a random one when

@@ -15,6 +15,7 @@ import numpy as np
 from .. import models
 from ..utils import pyramid
 from .mesh import batch_sharding, make_mesh, replicate_sharding
+from .multihost import to_host
 
 
 def sharded_sampler(cfg, g_params, g_state, ndim: int = 2, mesh=None,
@@ -92,7 +93,9 @@ def sharded_sampler(cfg, g_params, g_state, ndim: int = 2, mesh=None,
             f"num_samples {num_samples} not divisible by data axis {dp}"
         with mesh:
             out = forward(key, num_samples)
-        return out if device else np.asarray(out)
+        # multi-process: the batch is sharded across processes; to_host
+        # allgathers so every process returns the identical full batch
+        return out if device else to_host(out)
 
     return sample
 
@@ -141,7 +144,7 @@ def make_sampled_sifid(cfg, g_params, g_state, real_image, mesh=None,
     def run(num_samples: int, key, return_samples: int = 0):
         fakes = sample(num_samples, key, device=True)  # [-1,1] device array
         mu_f, sig_f = stats(model((fakes + 1.0) * 0.5)[-1])
-        mu_f, sig_f = np.asarray(mu_f), np.asarray(sig_f)  # tiny transfer
+        mu_f, sig_f = to_host(mu_f), to_host(sig_f)  # tiny transfer
 
         if not real_stats:
             h, w = fakes.shape[1], fakes.shape[2]
@@ -154,7 +157,7 @@ def make_sampled_sifid(cfg, g_params, g_state, real_image, mesh=None,
                                                  mu_r, sig_r))
                 for i in range(num_samples)]
         if return_samples:
-            return vals, np.asarray(fakes[:min(return_samples, num_samples)])
+            return vals, to_host(fakes[:min(return_samples, num_samples)])
         return vals
 
     return run
@@ -192,7 +195,7 @@ def make_sampled_svfid(cfg, g_params, g_state, real_video, mesh=None,
     def run(num_samples: int, key, return_samples: int = 0):
         fakes = sample(num_samples, key, device=True)  # (B,T,H,W,C) [-1,1]
         mu_f, sig_f = stats(model((fakes + 1.0) * 0.5)[-1])
-        mu_f, sig_f = np.asarray(mu_f), np.asarray(sig_f)
+        mu_f, sig_f = to_host(mu_f), to_host(sig_f)
 
         if not real_stats:
             t, h, w = fakes.shape[1:4]
@@ -205,7 +208,7 @@ def make_sampled_svfid(cfg, g_params, g_state, real_video, mesh=None,
                                                  mu_r, sig_r))
                 for i in range(num_samples)]
         if return_samples:
-            return vals, np.asarray(fakes[:min(return_samples, num_samples)])
+            return vals, to_host(fakes[:min(return_samples, num_samples)])
         return vals
 
     return run

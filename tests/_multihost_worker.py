@@ -47,7 +47,22 @@ g_params, g_state, amps, saver = run_training(cfg, mode="image", seed=seed)
 leaves = [np.asarray(jax.device_get(x), np.float64)
           for x in jax.tree_util.tree_leaves(g_params)]
 checksum = float(sum(float(np.sum(np.abs(l))) for l in leaves))
+
+# batched diverse-sample generation over the SAME cross-process mesh: the
+# batch shards across processes; to_host allgathers, so every process must
+# see the identical full batch
+from hpvaegan_tpu.parallel.mesh import make_mesh  # noqa: E402
+from hpvaegan_tpu.parallel.sampling import sharded_sampler  # noqa: E402
+
+cfg.Noise_Amps = [float(a) for a in amps]
+sample = sharded_sampler(cfg, g_params, g_state, ndim=2,
+                         mesh=make_mesh(4, data_parallel=4))
+out = sample(4, jax.random.PRNGKey(0))
+sample_sum = float(np.sum(np.abs(np.asarray(out, np.float64))))
+
 print(json.dumps({"proc": proc_id, "seed": seed, "checksum": checksum,
                   "amps": [float(a) for a in amps],
                   "saver": type(saver).__name__,
-                  "exp_dir": saver.experiment_dir}), flush=True)
+                  "exp_dir": saver.experiment_dir,
+                  "sample_shape": list(out.shape),
+                  "sample_sum": sample_sum}), flush=True)

@@ -14,6 +14,58 @@ import sys
 WORKER = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
 
 
+def test_nullsaver_matches_datasaver_surface():
+    """NullSaver must not drift behind DataSaver: every public method the
+    trainers can call on a saver must exist with a compatible signature."""
+    import inspect
+
+    from hpvaegan_tpu.parallel.multihost import NullSaver
+    from hpvaegan_tpu.utils.saver import DataSaver
+
+    for name, fn in inspect.getmembers(DataSaver, inspect.isfunction):
+        if name.startswith("_"):
+            continue
+        null_fn = getattr(NullSaver, name, None)
+        assert null_fn is not None, f"NullSaver lacks {name}"
+        assert (inspect.signature(fn).parameters.keys()
+                == inspect.signature(null_fn).parameters.keys()), name
+
+
+def test_single_process_helpers_are_identity():
+    """In an ordinary (single-process) run every multihost helper must be a
+    no-op/passthrough — these run inside the trainers unconditionally."""
+    import numpy as np
+
+    from hpvaegan_tpu.parallel import multihost
+
+    assert not multihost.is_multiprocess()
+    assert multihost.is_primary()
+    assert multihost.agree_seed(123) == 123
+    assert multihost.agree_seed(None) is None
+    assert multihost.broadcast_str("abc") == "abc"
+    multihost.sync("noop")
+    x = np.arange(6.0).reshape(2, 3)
+    np.testing.assert_array_equal(multihost.to_host(x), x)
+    sentinel = object()
+    assert multihost.select_saver(None, lambda: sentinel) is sentinel
+
+
+def test_nullsaver_writes_nothing_reads_shared_dir(tmp_path):
+    import pickle
+
+    from hpvaegan_tpu.parallel.multihost import NullSaver
+
+    with open(tmp_path / "netD_0.ckpt", "wb") as f:
+        pickle.dump({"params": {"w": 1}}, f)
+    s = NullSaver(None, experiment_dir=str(tmp_path))
+    s.save_checkpoint({"x": 1}, "netG_0.ckpt")
+    s.save_json({"a": 1}, "intermediate.json")
+    s.save_inflight(0, None, None, 4, [1.0])
+    s.finalize_scale(0, [1.0], {"x": 1})
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["netD_0.ckpt"]
+    assert s.load_checkpoint("netD_0.ckpt")["params"] == {"w": 1}
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -44,6 +96,13 @@ def test_two_process_training(tmp_path):
     assert by_proc[0]["checksum"] == by_proc[1]["checksum"]
     assert by_proc[0]["amps"] == by_proc[1]["amps"]
     assert all(a > 0 for a in by_proc[0]["amps"])
+
+    # cross-process batched sampling: the batch shards over all 4 global
+    # devices; process_allgather hands BOTH processes the identical batch
+    assert by_proc[0]["sample_shape"] == by_proc[1]["sample_shape"]
+    assert by_proc[0]["sample_shape"][0] == 4
+    assert by_proc[0]["sample_sum"] == by_proc[1]["sample_sum"]
+    assert by_proc[0]["sample_sum"] > 0
 
     # exactly one process owned file IO
     assert by_proc[0]["saver"] == "DataSaver"
