@@ -35,8 +35,11 @@ def main():
                         help='device-resident sampling + sinFID: only '
                              'per-sample (mu, sigma) stats leave the device '
                              '(BASELINE config 5)')
+    from hpvaegan_tpu.parallel import multihost
+    multihost.add_dist_flags(parser)
     args = parser.parse_args()
 
+    multihost.init_from_cfg(args)
     hlog.configure_logging()
     from hpvaegan_tpu.parallel.mesh import select_device
     select_device(args.device_id)
@@ -55,7 +58,8 @@ def main():
                                if args.netG else ''))
         cfg = hydrate_config(exp_dir, overrides)
         svfid, _ = eval_video_experiment(cfg, exp_dir)
-        print(f'SVFID: {svfid}')
+        if multihost.is_primary():
+            print(f'SVFID: {svfid}')
 
 
 if __name__ == '__main__':

@@ -20,6 +20,7 @@ import numpy as np
 
 from . import models
 from .config import Config
+from .parallel import multihost
 from .utils import pyramid
 from .utils.saver import DataSaver, load_pytree
 
@@ -145,7 +146,10 @@ def generate_samples(cfg, g_params, g_state, ndim: int, seed: int = 0,
     for _ in range(cfg.niter):
         key, ks = jax.random.split(key)
         outs.append(sample(cfg.num_samples, ks, device=True))
-    return np.asarray(jnp.concatenate(outs, axis=0))
+    # multi-process: the batch is sharded across processes — to_host
+    # allgathers so every process gets the identical full set
+    from .parallel.multihost import to_host
+    return to_host(jnp.concatenate(outs, axis=0))
 
 
 def eval_image_experiment(cfg, exp_dir: str, seed: int = 0):
@@ -175,18 +179,22 @@ def eval_image_experiment(cfg, exp_dir: str, seed: int = 0):
                                      z_tail=eval_z_tail(cfg, 2),
                                      return_samples=min(cfg.max_samples,
                                                         total))
-        np.save(os.path.join(saver.eval_dir, "random_samples.npy"),
-                firstk.transpose(0, 3, 1, 2))  # (N, C, H, W)
-        generate_images(cfg, saver)
+        if multihost.is_primary():
+            np.save(os.path.join(saver.eval_dir, "random_samples.npy"),
+                    firstk.transpose(0, 3, 1, 2))  # (N, C, H, W)
+            generate_images(cfg, saver)
         sifid = float(np.mean(vals))
         logging.info("SIFID (on-device): %s", sifid)
         return sifid, saver
     samples = generate_samples(cfg, g_params, g_state, ndim=2, seed=seed,
                                mesh=mesh)
-    # reference artifact layout: (N, C, H, W)
-    np.save(os.path.join(saver.eval_dir, "random_samples.npy"),
-            samples.transpose(0, 3, 1, 2))
-    generate_images(cfg, saver)
+    # reference artifact layout: (N, C, H, W); one writer, and a barrier so
+    # non-primary processes read the PNGs only after they exist (shared FS)
+    if multihost.is_primary():
+        np.save(os.path.join(saver.eval_dir, "random_samples.npy"),
+                samples.transpose(0, 3, 1, 2))
+        generate_images(cfg, saver)
+    multihost.sync("eval_image_artifacts")
 
     real_dir = os.path.dirname(os.path.abspath(cfg.image_path))
     fake_dir = os.path.join(saver.eval_dir, cfg.save_path)
@@ -212,8 +220,9 @@ def eval_video_experiment(cfg, exp_dir: str, seed: int = 0):
 
     # real_full_scale.npy: (T, H, W, C) uint8 at the saved scale
     frames = np.asarray(dataset.scale_frames(cfg.scale_idx))[0]
-    np.save(os.path.join(saver.eval_dir, "real_full_scale.npy"),
-            (frames * 255).astype(np.uint8))
+    if multihost.is_primary():
+        np.save(os.path.join(saver.eval_dir, "real_full_scale.npy"),
+                (frames * 255).astype(np.uint8))
 
     mesh = eval_mesh(cfg)
     if getattr(cfg, "on_device_fid", False):
@@ -233,19 +242,23 @@ def eval_video_experiment(cfg, exp_dir: str, seed: int = 0):
                                      z_tail=eval_z_tail(cfg, 3),
                                      return_samples=min(cfg.max_samples,
                                                         total))
-        np.save(os.path.join(saver.eval_dir, "random_samples.npy"),
-                firstk.transpose(0, 4, 1, 2, 3))  # (N, C, T, H, W)
-        generate_gifs(cfg, saver)
+        if multihost.is_primary():
+            np.save(os.path.join(saver.eval_dir, "random_samples.npy"),
+                    firstk.transpose(0, 4, 1, 2, 3))  # (N, C, T, H, W)
+            generate_gifs(cfg, saver)
         svfid = float(np.mean(vals))
         logging.info("SVFID (on-device): %s", svfid)
         return svfid, saver
 
     samples = generate_samples(cfg, g_params, g_state, ndim=3, seed=seed,
                                mesh=mesh)
-    # reference artifact layout: (N, C, T, H, W)
-    np.save(os.path.join(saver.eval_dir, "random_samples.npy"),
-            samples.transpose(0, 4, 1, 2, 3))
-    generate_gifs(cfg, saver)
+    # reference artifact layout: (N, C, T, H, W); SVFID below is computed
+    # from the in-memory arrays (identical on every process), so only the
+    # artifact writes need gating
+    if multihost.is_primary():
+        np.save(os.path.join(saver.eval_dir, "random_samples.npy"),
+                samples.transpose(0, 4, 1, 2, 3))
+        generate_gifs(cfg, saver)
 
     # SVFID over video arrays (the reference image-file path was broken);
     # real side is the strided window at this scale's rate, matching what

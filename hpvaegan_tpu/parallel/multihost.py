@@ -70,6 +70,30 @@ def init_distributed(coordinator: str = "auto",
                  jax.local_device_count(), jax.device_count())
 
 
+def add_dist_flags(parser) -> None:
+    """The --dist-* CLI surface, shared by every train/eval driver."""
+    parser.add_argument('--dist-coordinator', type=str, default='',
+                        help="multi-process bootstrap: 'auto' (TPU pod "
+                             'discovery) or host:port with --dist-nprocs/'
+                             '--dist-procid; process 0 owns all file IO')
+    parser.add_argument('--dist-nprocs', type=int, default=0,
+                        help='process count (explicit-coordinator bootstrap)')
+    parser.add_argument('--dist-procid', type=int, default=-1,
+                        help="this process's id (explicit bootstrap)")
+
+
+def init_from_cfg(cfg) -> None:
+    """Bootstrap from the --dist-* flags if given (no-op otherwise)."""
+    coordinator = getattr(cfg, "dist_coordinator", "")
+    if not coordinator:
+        return
+    nprocs = getattr(cfg, "dist_nprocs", 0)
+    procid = getattr(cfg, "dist_procid", -1)
+    init_distributed(coordinator,
+                     num_processes=nprocs or None,
+                     process_id=procid if procid >= 0 else None)
+
+
 def is_multiprocess() -> bool:
     return jax.process_count() > 1
 

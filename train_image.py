@@ -91,14 +91,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--mesh-sp', type=int, default=1,
                         help='spatial mesh axis (H sharded when divisible; '
                              'XLA SPMD inserts the conv halo exchanges)')
-    parser.add_argument('--dist-coordinator', type=str, default='',
-                        help="multi-process bootstrap: 'auto' (TPU pod "
-                             'discovery) or host:port with --dist-nprocs/'
-                             '--dist-procid; process 0 owns all file IO')
-    parser.add_argument('--dist-nprocs', type=int, default=0,
-                        help='process count (explicit-coordinator bootstrap)')
-    parser.add_argument('--dist-procid', type=int, default=-1,
-                        help="this process's id (explicit bootstrap)")
+    from hpvaegan_tpu.parallel import multihost
+    multihost.add_dist_flags(parser)
     parser.add_argument('--paired-g', action='store_true', default=False,
                         help='GAN-phase G step: recon+fake as one width-2B '
                              'forward with per-half BN stats (exact; '
@@ -160,11 +154,7 @@ def main():
     cfg = cfg_from_args(args).finalize()
 
     from hpvaegan_tpu.parallel import multihost
-    if cfg.dist_coordinator:
-        multihost.init_distributed(
-            cfg.dist_coordinator,
-            num_processes=cfg.dist_nprocs or None,
-            process_id=cfg.dist_procid if cfg.dist_procid >= 0 else None)
+    multihost.init_from_cfg(cfg)
 
     if cfg.manualSeed is None:
         cfg.manualSeed = random.randint(1, 10000)

@@ -25,11 +25,7 @@ def main():
     cfg = cfg_from_args(args).finalize()
 
     from hpvaegan_tpu.parallel import multihost
-    if cfg.dist_coordinator:
-        multihost.init_distributed(
-            cfg.dist_coordinator,
-            num_processes=cfg.dist_nprocs or None,
-            process_id=cfg.dist_procid if cfg.dist_procid >= 0 else None)
+    multihost.init_from_cfg(cfg)
 
     if cfg.manualSeed is None:
         cfg.manualSeed = random.randint(1, 10000)
