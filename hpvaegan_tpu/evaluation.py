@@ -91,10 +91,18 @@ def _check_body(params, cfg, path: str) -> None:
 
 
 def eval_mesh(cfg):
-    """('data','sp') mesh for sharded eval when --mesh-data > 1, else None."""
+    """('data','sp') mesh for sharded eval when --mesh-data > 1, else None.
+
+    Multi-process runs ALWAYS get a mesh spanning all global devices: the
+    fallback make_mesh(1) inside generate_samples would pin everything to
+    global device 0, which non-primary processes cannot address."""
+    from .parallel import multihost
     if getattr(cfg, "mesh_data", 1) and cfg.mesh_data > 1:
         from .parallel.mesh import make_mesh
         return make_mesh(cfg.mesh_data, data_parallel=cfg.mesh_data)
+    if multihost.is_multiprocess():
+        from .parallel.mesh import make_mesh
+        return make_mesh()
     return None
 
 
@@ -148,8 +156,7 @@ def generate_samples(cfg, g_params, g_state, ndim: int, seed: int = 0,
         outs.append(sample(cfg.num_samples, ks, device=True))
     # multi-process: the batch is sharded across processes — to_host
     # allgathers so every process gets the identical full set
-    from .parallel.multihost import to_host
-    return to_host(jnp.concatenate(outs, axis=0))
+    return multihost.to_host(jnp.concatenate(outs, axis=0))
 
 
 def eval_image_experiment(cfg, exp_dir: str, seed: int = 0):
@@ -185,20 +192,26 @@ def eval_image_experiment(cfg, exp_dir: str, seed: int = 0):
             generate_images(cfg, saver)
         sifid = float(np.mean(vals))
         logging.info("SIFID (on-device): %s", sifid)
+        # non-primary must not exit while the primary still writes PNGs
+        # (pod launchers commonly reap all processes on first exit)
+        multihost.sync("eval_image_artifacts")
         return sifid, saver
     samples = generate_samples(cfg, g_params, g_state, ndim=2, seed=seed,
                                mesh=mesh)
     # reference artifact layout: (N, C, H, W); one writer, and a barrier so
     # non-primary processes read the PNGs only after they exist (shared FS)
+    real_dir = os.path.dirname(os.path.abspath(cfg.image_path))
+    fake_dir = os.path.join(saver.eval_dir, cfg.save_path)
+    sifid = 0.0
     if multihost.is_primary():
         np.save(os.path.join(saver.eval_dir, "random_samples.npy"),
                 samples.transpose(0, 3, 1, 2))
         generate_images(cfg, saver)
-    multihost.sync("eval_image_artifacts")
-
-    real_dir = os.path.dirname(os.path.abspath(cfg.image_path))
-    fake_dir = os.path.join(saver.eval_dir, cfg.save_path)
-    sifid = calculate_SIFID(real_dir, fake_dir)
+        # disk-read FID on the primary only (non-primary may have no shared
+        # FS view of the PNGs); the broadcast shares the scalar AND is the
+        # barrier that keeps a straggler-killing launcher off the writer
+        sifid = calculate_SIFID(real_dir, fake_dir)
+    sifid = multihost.agree_float(sifid)
     logging.info("SIFID: %s", sifid)
     return sifid, saver
 
@@ -248,6 +261,7 @@ def eval_video_experiment(cfg, exp_dir: str, seed: int = 0):
             generate_gifs(cfg, saver)
         svfid = float(np.mean(vals))
         logging.info("SVFID (on-device): %s", svfid)
+        multihost.sync("eval_video_artifacts")
         return svfid, saver
 
     samples = generate_samples(cfg, g_params, g_state, ndim=3, seed=seed,
@@ -273,6 +287,7 @@ def eval_video_experiment(cfg, exp_dir: str, seed: int = 0):
     svfid = float(np.mean(svfid_arrays(reals[:, :t, :h, :w],
                                        fakes[:, :t, :h, :w])))
     logging.info("SVFID: %s", svfid)
+    multihost.sync("eval_video_artifacts")
     return svfid, saver
 
 

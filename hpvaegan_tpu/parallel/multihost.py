@@ -116,18 +116,35 @@ def sync(tag: str = "barrier") -> None:
 
 
 def to_host(x):
-    """np.asarray for global arrays. Single-process it IS np.asarray; in a
-    multi-process run a batch-sharded array has non-addressable shards and
-    np.asarray raises — allgather the shards across processes first (every
-    process gets the full value; the sampling paths need it for FID stats
-    and artifact dumps)."""
+    """np.asarray for global arrays/pytrees. Single-process it IS np.asarray;
+    in a multi-process run a batch-sharded array has non-addressable shards
+    and np.asarray raises — allgather the shards across processes first
+    (every process gets the full value; the sampling paths need it for FID
+    stats and artifact dumps). Pass related arrays as ONE pytree: each
+    to_host call dispatches its own collective, and per-dispatch round-trip
+    latency dominates on remote-device transports (docs/PERF.md)."""
     import numpy as np
 
     if not is_multiprocess():
-        return np.asarray(x)
+        return jax.tree_util.tree_map(np.asarray, x)
     from jax.experimental import multihost_utils
 
-    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return jax.tree_util.tree_map(
+        np.asarray, multihost_utils.process_allgather(x, tiled=True))
+
+
+def agree_float(x: float) -> float:
+    """Broadcast the primary's scalar to every process (identity
+    single-process). Lets one process compute a host-side metric (e.g. the
+    disk-read SIFID) and share the result instead of every process
+    re-reading primary-written files. Also a cross-process barrier."""
+    if not is_multiprocess():
+        return float(x)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    val = np.asarray([x], dtype=np.float64)
+    return float(multihost_utils.broadcast_one_to_all(val)[0])
 
 
 def agree_seed(seed: Optional[int]) -> Optional[int]:

@@ -144,7 +144,7 @@ def make_sampled_sifid(cfg, g_params, g_state, real_image, mesh=None,
     def run(num_samples: int, key, return_samples: int = 0):
         fakes = sample(num_samples, key, device=True)  # [-1,1] device array
         mu_f, sig_f = stats(model((fakes + 1.0) * 0.5)[-1])
-        mu_f, sig_f = to_host(mu_f), to_host(sig_f)  # tiny transfer
+        mu_f, sig_f = to_host((mu_f, sig_f))  # tiny transfer, ONE gather
 
         if not real_stats:
             h, w = fakes.shape[1], fakes.shape[2]
@@ -195,7 +195,7 @@ def make_sampled_svfid(cfg, g_params, g_state, real_video, mesh=None,
     def run(num_samples: int, key, return_samples: int = 0):
         fakes = sample(num_samples, key, device=True)  # (B,T,H,W,C) [-1,1]
         mu_f, sig_f = stats(model((fakes + 1.0) * 0.5)[-1])
-        mu_f, sig_f = to_host(mu_f), to_host(sig_f)
+        mu_f, sig_f = to_host((mu_f, sig_f))  # ONE gather
 
         if not real_stats:
             t, h, w = fakes.shape[1:4]

@@ -46,6 +46,10 @@ def test_single_process_helpers_are_identity():
     multihost.sync("noop")
     x = np.arange(6.0).reshape(2, 3)
     np.testing.assert_array_equal(multihost.to_host(x), x)
+    a, b = multihost.to_host((x, x + 1))  # pytree form: one gather per call
+    np.testing.assert_array_equal(a, x)
+    np.testing.assert_array_equal(b, x + 1)
+    assert multihost.agree_float(2.5) == 2.5
     sentinel = object()
     assert multihost.select_saver(None, lambda: sentinel) is sentinel
 
