@@ -133,8 +133,18 @@ def clipped_adam(lr_tree: Any, beta1: float, beta2: float = 0.999,
 
     flat=True runs the numerically-identical single-buffer implementation
     (flat_adam) — fewer XLA launches per step on launch-bound geometries."""
+    # a non-finite clip means "unclipped" (the baselines pass float('inf'),
+    # baselines_trainer.py) — skip the clip stage entirely instead of paying
+    # a guaranteed-no-op segment-sum/sqrt per step on launch-bound geometry
+    if grad_clip is not None and not np.isfinite(grad_clip):
+        grad_clip = None
     if flat:
         return flat_adam(lr_tree, beta1, beta2, eps, grad_clip=grad_clip)
+    if grad_clip is None:
+        return optax.chain(
+            optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps),
+            scale_by_lr_tree(lr_tree),
+        )
     return optax.chain(
         clip_by_norm_per_leaf(grad_clip),
         optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps),

@@ -132,8 +132,8 @@ def _train_baseline_scale(cfg, g_apply, d_apply, d_init, dataset, saver,
 
     if split_steps:
         g_step = make_g_step(cfg, g_apply, d_apply, opt_g, plan,
-                             vae_phase=False)
-        d_step = make_d_step(cfg, g_apply, d_apply, opt_d)
+                             vae_phase=False, mesh=mesh)
+        d_step = make_d_step(cfg, g_apply, d_apply, opt_d, mesh=mesh)
         spc = 1
         chunk = chunk_rem = None
     else:

@@ -10,7 +10,6 @@ dispatches.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict
 
 import jax
@@ -18,7 +17,7 @@ import jax.numpy as jnp
 import optax
 
 from ..losses import d_loss_fn, g_gan_loss_fn, g_vae_loss_fn
-from .partition import lr_tree_for, merge_params, split_params
+from .partition import merge_params, split_params
 from .state import ScaleTrainState
 
 
@@ -26,12 +25,59 @@ def _cdtype(cfg):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
 
+def _mesh_shard_fn(mesh):
+    """Batch-input sharding constraint for a ('data','sp') mesh (identity
+    when mesh is None). Shared by the fused chunk and the split-step
+    builders so the compile-fallback path keeps the SAME parallelism."""
+    if mesh is None:
+        return lambda x: x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sp = mesh.shape.get("sp", 1)
+
+    def _shard(x):
+        spec = ["data"] + [None] * (x.ndim - 1)
+        if sp > 1 and x.ndim >= 4:
+            # H axis: 1 for (B,H,W,C) images, 2 for (B,T,H,W,C) video.
+            # XLA SPMD inserts the conv halo exchanges; only shard when
+            # divisible so the ceil-ladder's odd sizes fall back cleanly.
+            # DECISION (SURVEY §2.3 CP row): for video the 'sp' axis
+            # shards H, NOT T — the reference ladder's time depth is
+            # 4..13 frames (rarely divisible by a mesh axis, and a
+            # ker//2-frame halo is a large fraction of a <=4-frame
+            # shard), while H reaches 256+ with a 1-row halo per
+            # neighbor. T-axis CP stays available as a capability
+            # (tests/test_parallel.py::
+            # test_context_parallel_conv3d_over_time).
+            h_axis = 1 if x.ndim == 4 else 2
+            if x.shape[h_axis] % sp == 0:
+                spec[h_axis] = "sp"
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec)))
+
+    return _shard
+
+
+def _compiler_options(cfg):
+    """cfg.xla_options forwarded through PJRT CompileOptions — reaches the
+    remote compile service where the XLA_FLAGS env cannot."""
+    return getattr(cfg, "xla_options", None) or None
+
+
 def make_g_step(cfg, g_apply: Callable, d_apply: Callable, opt_g, plan,
-                vae_phase: bool, g_pair: Callable = None):
-    """Jitted single G update."""
+                vae_phase: bool, g_pair: Callable = None, mesh=None):
+    """Jitted single G update (the split-steps path: the compile fallback
+    for chunks that exceed the compiler, and the dryrun hooks). Keeps the
+    fused chunk's mesh sharding and compiler options."""
     core = _g_step_core(cfg, g_apply, d_apply, opt_g, plan, vae_phase,
                         _cdtype(cfg), g_pair=g_pair)
-    return functools.partial(jax.jit, donate_argnums=(0,))(core)
+    shard = _mesh_shard_fn(mesh)
+
+    def step(state, real, real_zero, noise_init, amps):
+        return core(state, shard(real), shard(real_zero), shard(noise_init),
+                    amps)
+
+    return jax.jit(step, donate_argnums=(0,),
+                   compiler_options=_compiler_options(cfg))
 
 
 def _g_step_core(cfg, g_apply: Callable, d_apply: Callable, opt_g, plan,
@@ -93,10 +139,16 @@ def _g_step_core(cfg, g_apply: Callable, d_apply: Callable, opt_g, plan,
     return g_step
 
 
-def make_d_step(cfg, g_apply: Callable, d_apply: Callable, opt_d):
-    """Jitted single D update."""
+def make_d_step(cfg, g_apply: Callable, d_apply: Callable, opt_d, mesh=None):
+    """Jitted single D update (split-steps path; see make_g_step)."""
     core = _d_step_core(cfg, g_apply, d_apply, opt_d, _cdtype(cfg))
-    return functools.partial(jax.jit, donate_argnums=(0,))(core)
+    shard = _mesh_shard_fn(mesh)
+
+    def step(state, real, noise_init, amps):
+        return core(state, shard(real), shard(noise_init), amps)
+
+    return jax.jit(step, donate_argnums=(0,),
+                   compiler_options=_compiler_options(cfg))
 
 
 def _d_step_core(cfg, g_apply: Callable, d_apply: Callable, opt_d, cd):
@@ -168,32 +220,7 @@ def make_train_chunk(cfg, g_apply: Callable, d_apply: Callable, opt_g, opt_d,
         g_step = _g_step_core(cfg, g_apply, d_apply, opt_g, plan, vae_phase,
                               cd, g_pair=g_pair)
         d_step = _d_step_core(cfg, g_apply, d_apply, opt_d, cd)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        sp = mesh.shape.get("sp", 1)
-
-        def _shard(x):
-            spec = ["data"] + [None] * (x.ndim - 1)
-            if sp > 1 and x.ndim >= 4:
-                # H axis: 1 for (B,H,W,C) images, 2 for (B,T,H,W,C) video.
-                # XLA SPMD inserts the conv halo exchanges; only shard when
-                # divisible so the ceil-ladder's odd sizes fall back cleanly.
-                # DECISION (SURVEY §2.3 CP row): for video the 'sp' axis
-                # shards H, NOT T — the reference ladder's time depth is
-                # 4..13 frames (rarely divisible by a mesh axis, and a
-                # ker//2-frame halo is a large fraction of a <=4-frame
-                # shard), while H reaches 256+ with a 1-row halo per
-                # neighbor. T-axis CP stays available as a capability
-                # (tests/test_parallel.py::
-                # test_context_parallel_conv3d_over_time).
-                h_axis = 1 if x.ndim == 4 else 2
-                if x.shape[h_axis] % sp == 0:
-                    spec[h_axis] = "sp"
-            return jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, P(*spec)))
-    else:
-        def _shard(x):
-            return x
+    _shard = _mesh_shard_fn(mesh)
 
     unroll = max(1, min(int(getattr(cfg, "scan_unroll", 1)), steps_per_call))
 
@@ -226,11 +253,8 @@ def make_train_chunk(cfg, g_apply: Callable, d_apply: Callable, opt_g, opt_d,
 
     if not jit:
         return chunk
-    # optional XLA backend options (cfg.xla_options dict, e.g. scoped-VMEM
-    # size) — forwarded through PJRT CompileOptions, reaching the remote
-    # compile service where XLA_FLAGS env cannot
-    opts = getattr(cfg, "xla_options", None) or None
-    return jax.jit(chunk, donate_argnums=(0,), compiler_options=opts)
+    return jax.jit(chunk, donate_argnums=(0,),
+                   compiler_options=_compiler_options(cfg))
 
 
 def _fused_dg_step_core(cfg, g_apply: Callable, d_apply: Callable, opt_g,
@@ -241,7 +265,6 @@ def _fused_dg_step_core(cfg, g_apply: Callable, d_apply: Callable, opt_g,
     Deviation from the reference (fresh noise per step's fake); the G step
     still sees the UPDATED discriminator, matching the reference order
     (train_image.py:157-159)."""
-    from ..losses import d_loss_fn as _d_loss_fn
 
     def step(state: ScaleTrainState, real, real_zero, noise_init, amps):
         key, k_fake, k_alpha, k_rec = jax.random.split(state.key, 4)
@@ -266,7 +289,7 @@ def _fused_dg_step_core(cfg, g_apply: Callable, d_apply: Callable, opt_g,
                     state_box.append(ns)
                 return y
 
-            total, aux = _d_loss_fn(cfg, dfn, real, fake, alpha)
+            total, aux = d_loss_fn(cfg, dfn, real, fake, alpha)
             return total, (state_box[0], aux)
 
         (d_total, (new_dstate, d_aux)), d_grads = jax.value_and_grad(
@@ -320,9 +343,14 @@ def make_calibration(cfg, g_apply: Callable):
     return calib
 
 
-def make_sampler(cfg, g_apply: Callable, train: bool = False):
+def make_sampler(cfg, g_apply: Callable, train: bool = True):
     """Batched random-mode forward for visualization/eval (replaces the
-    reference's Python loop over samples, eval_image.py:54-61)."""
+    reference's Python loop over samples, eval_image.py:54-61).
+
+    train=True default is LOAD-BEARING: SinGAN-family sampling must run
+    BatchNorm on batch statistics (the reference never calls
+    set_train(False)); eval-mode moving stats wash out sample content
+    (see parallel/sampling.sharded_sampler)."""
     cd = _cdtype(cfg)
 
     @jax.jit

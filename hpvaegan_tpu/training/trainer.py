@@ -159,8 +159,8 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
     if split_steps:
         from .steps import make_d_step, make_g_step
         g_step = make_g_step(cfg, g_apply, d_apply, opt_g, plan, vae_phase,
-                             g_pair=g_pair)
-        d_step = make_d_step(cfg, g_apply, d_apply, opt_d)
+                             g_pair=g_pair, mesh=mesh)
+        d_step = make_d_step(cfg, g_apply, d_apply, opt_d, mesh=mesh)
         spc = 1
         chunk = chunk_rem = None
     elif prebuilt is not None:

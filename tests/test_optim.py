@@ -100,3 +100,21 @@ def test_flat_adam_init_from_abstract_shapes():
     real_state = opt.init(params)
     assert jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), abs_state) \
         == jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), real_state)
+
+
+def test_infinite_clip_means_unclipped():
+    """The baselines pass grad_clip=float('inf') to mean 'no clipping'
+    (baselines_trainer.py); both implementations must treat it as clip=None
+    (identical updates, no wasted clip stage)."""
+    params = _tree(jax.random.PRNGKey(0))
+    grads = _tree(jax.random.PRNGKey(1))
+    lr = jax.tree_util.tree_map(lambda _: 1e-3, params)
+
+    for flat in (False, True):
+        inf_opt = clipped_adam(lr, 0.5, grad_clip=float("inf"), flat=flat)
+        none_opt = clipped_adam(lr, 0.5, grad_clip=None, flat=flat)
+        ui, _ = inf_opt.update(grads, inf_opt.init(params), params)
+        un, _ = none_opt.update(grads, none_opt.init(params), params)
+        for a, b in zip(jax.tree_util.tree_leaves(ui),
+                        jax.tree_util.tree_leaves(un)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -143,6 +143,26 @@ def test_data_parallel_training(tmp_path):
     assert all(np.isfinite(a) for a in amps)
 
 
+def test_data_parallel_training_split_steps(tmp_path):
+    """split_step=True (the compile-fallback path) must keep the mesh: the
+    split builders apply the same batch sharding constraint as the fused
+    chunk (steps._mesh_shard_fn) instead of silently training replicated."""
+    import os
+
+    from hpvaegan_tpu.training.trainer import run_training
+
+    img = os.path.join(os.path.dirname(__file__), "..", "data", "imgs",
+                       "air_balloons.jpg")
+    cfg = Config(image_path=img, checkname="dps", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=24, min_size=12,
+                 max_size=24, vae_levels=1, batch_size=8, mesh_data=8,
+                 split_step=True, run_dir=str(tmp_path),
+                 manualSeed=1).finalize()
+    g_params, _, amps, _ = run_training(cfg, mode="image", seed=1)
+    assert len(amps) == cfg.stop_scale + 1
+    assert all(np.isfinite(a) for a in amps)
+
+
 def test_sampler_per_sample_bn_parity():
     """sharded_sampler(train=True) must equal N independent batch-1
     forwards: BN statistics are PER SAMPLE (the reference's
