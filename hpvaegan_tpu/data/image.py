@@ -30,7 +30,12 @@ def load_image01(path: str) -> np.ndarray:
 
     if not os.path.exists(path):
         raise FileNotFoundError(f"invalid path: {path}")
-    img = np.asarray(imageio.imread(path))[:, :, :3]
+    img = np.asarray(imageio.imread(path))
+    if img.ndim == 2:
+        # grayscale: promote to 3 channels (the reference's cv2.imread
+        # always yields BGR, so single-channel inputs trained fine there)
+        img = np.stack([img] * 3, axis=-1)
+    img = img[:, :, :3]
     return img.astype(np.float32) / 255.0
 
 

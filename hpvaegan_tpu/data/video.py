@@ -34,6 +34,17 @@ class SingleVideoDataset:
         cfg.fps_lcm = int(np.lcm.reduce(np.asarray(cfg.sampling_rates)))
         self.cfg = cfg
         frames = video_to_frames(cfg.video_path, cfg.start_frame, cfg.max_frames)
+        if frames.shape[0] < cfg.fps_lcm + 1:
+            # fail loudly NOW: the temporal-window dynamic_slice needs
+            # fps_lcm+1 frames, and an undersized axis would only surface
+            # as an obscure trace error minutes later, inside the first
+            # chunk compile on the remote TPU
+            raise ValueError(
+                f"video provides {frames.shape[0]} frames from "
+                f"--start-frame {cfg.start_frame} / --max-frames "
+                f"{cfg.max_frames}, but the sampling rates "
+                f"{cfg.sampling_rates} need lcm+1 = {cfg.fps_lcm + 1} "
+                "frames per temporal window")
         # (1, T, H, W, C) float in [0,1], device-resident
         self.frames_full_scale = jnp.asarray(frames, jnp.float32)[None] / 255.0
         self.num_frames = frames.shape[0]

@@ -105,13 +105,27 @@ def _train_baseline_scale(cfg, g_apply, d_apply, d_init, dataset, saver,
         key, kd = jax.random.split(key)
         d_params, d_state = d_init(cfg, kd)
         if scale_idx > 0:
+            loaded = 1.0
             try:
                 path = resume_dir if (resumed_idx == scale_idx
                                       and resume_dir) else None
                 ckpt = saver.load_checkpoint(f"netD_{scale_idx - 1}.ckpt",
                                              path=path)
-                d_params, d_state = ckpt["params"], ckpt["state"]
             except FileNotFoundError:
+                loaded = 0.0
+            # multi-process: the warm-start must be SYMMETRIC — if the ckpt
+            # is visible on some processes only (no shared FS view), a
+            # warning-and-continue would desync replica d_params and the
+            # "identical replicated program" silently trains corrupted
+            from ..parallel import multihost
+            if multihost.agree_float(loaded) != loaded:
+                raise RuntimeError(
+                    f"netD_{scale_idx - 1}.ckpt visible on only some "
+                    "processes — multi-process baselines need a shared "
+                    "filesystem view of the experiment dir")
+            if loaded:
+                d_params, d_state = ckpt["params"], ckpt["state"]
+            else:
                 logging.warning("no previous netD checkpoint to warm-start "
                                 "from")
 

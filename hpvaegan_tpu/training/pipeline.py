@@ -169,6 +169,10 @@ class ScalePrecompiler:
         self._thread: Optional[threading.Thread] = None
         self._bundle: Optional[ProgramBundle] = None
         self._ok = False
+        # generation token: an ABANDONED worker (join timeout) may finish
+        # later and must not clobber a newer generation's published bundle
+        self._gen = 0
+        self._lock = threading.Lock()
 
     def start(self, cfg, g_params, g_state, dataset, next_scale_idx: int,
               mesh=None) -> None:
@@ -185,8 +189,11 @@ class ScalePrecompiler:
             mesh = make_mesh(cfg2.mesh_data * cfg2.mesh_sp,
                              data_parallel=cfg2.mesh_data)
         g_abs = _sds((g_params, g_state))
-        self._ok = False
-        self._bundle = None
+        with self._lock:
+            self._gen += 1
+            gen = self._gen
+            self._ok = False
+            self._bundle = None
 
         def work():
             try:
@@ -197,8 +204,14 @@ class ScalePrecompiler:
                                             dataset, self.ndim, mesh=mesh)
                 _precompile(bundle, grown_abs[0], grown_abs[1], dataset,
                             self.ndim)
-                self._bundle = bundle
-                self._ok = True
+                with self._lock:
+                    if self._gen != gen:
+                        logging.info("compile-ahead: scale %d finished after "
+                                     "being abandoned — result discarded",
+                                     next_scale_idx)
+                        return
+                    self._bundle = bundle
+                    self._ok = True
                 logging.info("compile-ahead: scale %d programs ready",
                              next_scale_idx)
             except Exception as e:  # fall back to compile-at-first-call
@@ -228,10 +241,17 @@ class ScalePrecompiler:
                 "compile-ahead: scale %d background compile still running "
                 "after %.0fs — abandoning it, compiling on demand",
                 scale_idx, self.JOIN_TIMEOUT_S)
+            with self._lock:
+                # invalidate the zombie's generation so a late finish
+                # cannot publish over a newer start()
+                self._gen += 1
+                self._bundle = None
+                self._ok = False
             self._thread = None
             return None
         self._thread = None
-        if self._ok and self._bundle is not None \
-                and self._bundle.scale_idx == scale_idx:
-            return self._bundle
+        with self._lock:
+            if self._ok and self._bundle is not None \
+                    and self._bundle.scale_idx == scale_idx:
+                return self._bundle
         return None

@@ -268,18 +268,21 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
                 scale_idx + 1, done, noise_amps[-1],
                 ", ".join(f"{k}: {v:.5f}" for k, v in sorted(vals.items()))))
 
-        # mid-scale checkpoint (--ckpt-interval): FULL train state at a
-        # chunk boundary, so a supervisor restart continues bit-exactly
-        # instead of losing the scale (crash ordering in saver.save_inflight)
-        if (cfg.ckpt_interval and done < cfg.niter and done % spc == 0
-                and done % cfg.ckpt_interval < spc):
-            saver.save_inflight(scale_idx, state, key, done, noise_amps)
-
         if viz is not None and done % cfg.image_interval < spc:
             key, kb, kv = jax.random.split(key, 3)
             real, real_zero, noise_init = batch_fn(data_scale, data_zero, kb)
             _visualize(viz, saver, state, real, real_zero, noise_init,
                        amps, kv, done)
+
+        # mid-scale checkpoint (--ckpt-interval): FULL train state at a
+        # chunk boundary, so a supervisor restart continues bit-exactly
+        # instead of losing the scale (crash ordering in saver.save_inflight).
+        # AFTER the viz block: visualization advances the outer key, and a
+        # pre-viz snapshot would resume with a key the uninterrupted run no
+        # longer has (split-step mode feeds that key to every future batch)
+        if (cfg.ckpt_interval and done < cfg.niter and done % spc == 0
+                and done % cfg.ckpt_interval < spc):
+            saver.save_inflight(scale_idx, state, key, done, noise_amps)
 
         if step_callback is not None:
             step_callback(done, state, metrics)
@@ -308,16 +311,15 @@ def _visualize(viz, saver, state, real, real_zero, noise_init, amps,
     gen, gen_vae = recon(state.g_params, state.g_state, real_zero, amps, key)
     saver.save_image(denorm(gen), f"generated_{iteration + 1}.jpg")
     saver.save_image(denorm(gen_vae), f"generated_vae_{iteration + 1}.jpg")
-    fakes, fake_vaes = [], []
-    for _ in range(3):
-        key, kn, ks = jax.random.split(key, 3)
-        noise = jax.random.normal(kn, noise_init.shape)
-        fake, fake_vae = sample(state.g_params, state.g_state, noise, amps, ks)
-        fakes.append(np.asarray(fake))
-        fake_vaes.append(np.asarray(fake_vae))
-    saver.save_image(denorm(np.concatenate(fakes)[0:1]),
-                     f"fake_var_{iteration}.jpg")
-    saver.save_image(denorm(np.concatenate(fake_vaes)[0:1]),
+    # ONE sampler dispatch: save_image writes sample [0] only, so the
+    # reference's 3-draw grid loop (train_image.py:190-198, whose grid save
+    # is itself broken) would be 3x dead device work + d2h on the
+    # latency-charged remote transport
+    key, kn, ks = jax.random.split(key, 3)
+    noise = jax.random.normal(kn, noise_init.shape)
+    fake, fake_vae = sample(state.g_params, state.g_state, noise, amps, ks)
+    saver.save_image(denorm(np.asarray(fake)[0:1]), f"fake_var_{iteration}.jpg")
+    saver.save_image(denorm(np.asarray(fake_vae)[0:1]),
                      f"fake_vae_var{iteration}.jpg")
 
 

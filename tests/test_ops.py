@@ -142,3 +142,21 @@ def test_conv_block_prelu_param():
     g = jax.grad(lambda pp: float(0) + (conv_block_apply(
         pp, s, x, padding=1, act="prelu", train=True)[0] ** 2).sum())(p)
     assert float(np.abs(np.asarray(g["act"]["alpha"])).max()) > 0
+
+
+def test_load_image01_grayscale(tmp_path):
+    """Single-channel images must load as 3-channel (the reference's
+    cv2.imread always yields 3 channels, so grayscale inputs trained fine
+    there and must not crash here)."""
+    import imageio
+    import numpy as np
+
+    from hpvaegan_tpu.data.image import load_image01
+
+    gray = (np.arange(64, dtype=np.uint8).reshape(8, 8))
+    path = str(tmp_path / "gray.png")
+    imageio.imwrite(path, gray)
+    img = load_image01(path)
+    assert img.shape == (8, 8, 3)
+    assert img.dtype == np.float32
+    np.testing.assert_allclose(img[..., 0], img[..., 1])

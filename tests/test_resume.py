@@ -215,3 +215,49 @@ def test_resume_from_mid_run(tmp_path):
     assert amps2[0] == amps[0] == 1.0
     assert os.path.exists(os.path.join(saver2.experiment_dir,
                                        f"netG_{cfg2.stop_scale}.ckpt"))
+
+
+def test_inflight_resume_exact_with_visualize(tmp_path):
+    """The inflight save must come AFTER the visualization block: viz
+    advances the outer RNG key, and a pre-viz snapshot resumes with a key
+    the uninterrupted run no longer has. split_step makes the divergence
+    maximal (the outer key feeds every subsequent batch), and
+    image_interval == the kill iteration makes the ckpt/viz boundaries
+    coincide — the exact scenario the ordering bug corrupted."""
+    import jax
+    import numpy as np
+
+    kw = dict(niter=6, steps_per_call=2, ckpt_interval=2, split_step=True,
+              visualize=True, image_interval=4, compile_ahead=False)
+    cfg_a = _cfg(str(tmp_path / "a"), **kw)
+    g_a, _, amps_a, _ = run_training(cfg_a, mode="image", seed=1)
+
+    class Boom(Exception):
+        pass
+
+    cfg_b = _cfg(str(tmp_path / "b"), **kw)
+    last = cfg_b.stop_scale
+
+    def cb(done, state, metrics):
+        if cfg_b.scale_idx == last and done == 4:
+            raise Boom()
+
+    try:
+        run_training(cfg_b, mode="image", seed=1, step_callback=cb)
+        assert False, "expected the simulated kill"
+    except Boom:
+        pass
+    exp_b = cfg_b.saver.experiment_dir
+    with open(os.path.join(exp_b, "intermediate.json")) as f:
+        inter = json.load(f)
+    assert inter["inflight_iter"] == 4
+
+    cfg_c = _cfg(str(tmp_path / "c"), **kw)
+    cfg_c.netG = os.path.join(exp_b, inter["inflight"])
+    cfg_c.intermediate = os.path.join(exp_b, "intermediate.json")
+    g_c, _, amps_c, _ = run_training(cfg_c, mode="image", seed=1)
+
+    assert amps_a == amps_c
+    for a, c in zip(jax.tree_util.tree_leaves(g_a),
+                    jax.tree_util.tree_leaves(g_c)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))

@@ -136,3 +136,18 @@ def test_compile_ahead_video(tmp_path):
     _, _, amps, _ = run_training(cfg, mode="video", seed=2)
     assert len(amps) == cfg.stop_scale + 1
     assert all(np.isfinite(a) for a in amps)
+
+
+def test_video_too_few_frames_fails_loudly(tmp_path):
+    """A clip shorter than fps_lcm+1 frames must raise a clear ValueError at
+    dataset construction, not an obscure dynamic_slice trace error minutes
+    later inside the first remote chunk compile."""
+    import pytest
+
+    from hpvaegan_tpu.data.video import SingleVideoDataset
+
+    cfg = Config(video_path=VID, checkname="short", img_size=18, min_size=9,
+                 max_size=18, sampling_rates=[4, 3, 2, 1], max_frames=5,
+                 run_dir=str(tmp_path), manualSeed=1).finalize()
+    with pytest.raises(ValueError, match="frames per temporal window"):
+        SingleVideoDataset(cfg)
