@@ -154,14 +154,14 @@ def generator_hpvaegan_init(cfg, key) -> Tuple[Dict, Dict]:
             {"encode": enc_s, "decoder": dec_s, "body": []})
 
 
-def generator_init_next_stage(cfg, params: Dict, state: Dict, key,
-                              alias_last: bool = False) -> Tuple[Dict, Dict]:
+def generator_init_next_stage(cfg, params: Dict, state: Dict, key
+                              ) -> Tuple[Dict, Dict]:
     """Grow the refinement body by one stage (networks_2d.py:224-235).
 
     First stage is freshly initialized; later stages deep-copy the previous
-    one. `alias_last=True` mimics GeneratorVAE_nb's init bug of appending a
-    shared reference (networks_2d.py:324) — here a copy is still made (true
-    weight tying is not replicated), documented as a fixed reference bug.
+    one. (GeneratorVAE_nb's reference init appends a shared REFERENCE to the
+    previous stage, networks_2d.py:324 — an init bug fixed here by always
+    copying; weight tying is deliberately not replicated.)
     """
     params, state = dict(params), dict(state)
     if len(params["body"]) == 0:
@@ -176,21 +176,22 @@ def generator_init_next_stage(cfg, params: Dict, state: Dict, key,
 
 def refinement_layers(cfg, body_params: List, body_state: List, x, amps,
                       key, *, start_idx: int = 0, is_random: bool,
-                      noise_from_level: int = 0, train: bool,
-                      compute_dtype=None, bn_groups: int = 1,
-                      noise_mask=None):
+                      train: bool, compute_dtype=None, bn_groups: int = 1,
+                      noise_mask=None, train_all_escape: bool = True):
     """Residual refinement chain (networks_2d.py:266-282).
 
     amps: (stop_scale+1,) array of per-scale noise amplitudes (the reference
     passes a host list; an array avoids recompiles when amps change).
-    noise_from_level: 2D adds noise at every stage (0); the 3D generator gates
-    noise on idx+1 >= vae_levels (networks_3d.py:443).
+    train_all_escape: GeneratorHPVAEGAN's VAE-boundary stop_gradient is
+    skipped under --train-all (networks_2d.py:269); GeneratorVAE_nb's is
+    UNCONDITIONAL (networks_2d.py:366) — it passes False.
     """
     # no-grad sampling fast path: one fused Pallas kernel for
     # upscale+noise (ops/pallas/upsample_noise.py); not used under grad
-    # (no VJP) or in reconstruction mode
+    # (no VJP), in reconstruction mode, or under a paired-forward noise
+    # mask (the kernel adds UNMASKED noise — it would corrupt the recon half)
     use_pallas = bool(getattr(cfg, "pallas_fused_sampling", False)) \
-        and is_random and not train
+        and is_random and not train and noise_mask is None
     if use_pallas:
         from ..ops.pallas.upsample_noise import fused_upscale_noise_2d
         from ..utils.pyramid import scale_size_2d
@@ -198,9 +199,10 @@ def refinement_layers(cfg, body_params: List, body_state: List, x, amps,
     new_states = list(body_state[:start_idx])
     for idx in range(start_idx, len(body_params)):
         block_p, block_s = body_params[idx], body_state[idx]
-        if cfg.vae_levels == idx + 1 and not cfg.train_all:
+        if cfg.vae_levels == idx + 1 \
+                and not (cfg.train_all and train_all_escape):
             x = jax.lax.stop_gradient(x)
-        if use_pallas and idx + 1 >= noise_from_level:
+        if use_pallas:
             key, sub = jax.random.split(key)
             seed = jax.random.randint(sub, (), 0, 2 ** 31 - 1)
             hw = scale_size_2d(idx + 1, cfg.scale_factor, cfg.stop_scale,
@@ -210,7 +212,7 @@ def refinement_layers(cfg, body_params: List, body_state: List, x, amps,
         else:
             x_up = upscale_2d(x, idx + 1, cfg.scale_factor, cfg.stop_scale,
                               cfg.img_size, cfg.ar)
-            if is_random and idx + 1 >= noise_from_level:
+            if is_random:
                 key, sub = jax.random.split(key)
                 noise = generate_noise(sub, x_up.shape)
                 if noise_mask is not None:  # paired fwd: fake rows only
@@ -296,6 +298,11 @@ def generator_hpvaegan_apply_pair(cfg, params, state, *, video, amps,
     else:
         z_vae = generate_noise(kz, mu.shape)
     b = z_vae.shape[0]
+    # grouped BN (bn_groups=2) splits the stacked batch into EQUAL halves;
+    # an unequal fake batch would silently mix recon and fake rows in one
+    # BN group while the noise mask uses the true boundary
+    assert noise_init.shape[0] == b, \
+        (noise_init.shape[0], b, "paired forward needs equal batches")
     z_all = jnp.concatenate([z_vae, noise_init.astype(z_vae.dtype)], axis=0)
 
     dec_out, dec_s = B.conv_stack_apply(params["decoder"], state["decoder"],
@@ -371,6 +378,7 @@ def generator_vae_nb_apply(cfg, params, state, *, video=None, amps,
 
     x, body_s = refinement_layers(cfg, params["body"], state["body"], x0, amps,
                                   kr, start_idx=start_idx, is_random=is_random,
-                                  train=train, compute_dtype=compute_dtype)
+                                  train=train, compute_dtype=compute_dtype,
+                                  train_all_escape=False)
     new_state["body"] = body_s
     return (x, vae_out, mu, logvar, bern), new_state

@@ -336,7 +336,8 @@ def generator_vae_nb_apply(cfg, params, state, *, video=None, amps,
                                      amps, kr, start_idx=start_idx,
                                      is_random=is_random,
                                      gate_noise_on_vae_levels=False,
-                                     train=train, compute_dtype=compute_dtype)
+                                     train=train, compute_dtype=compute_dtype,
+                                     train_all_escape=False)
     new_state["body"] = body_s
     return (x, vae_out, mu, logvar, bern), new_state
 
@@ -344,7 +345,8 @@ def generator_vae_nb_apply(cfg, params, state, *, video=None, amps,
 # ------------------------------------------------------- SinGAN baselines ---
 
 def _baseline_stage_init(cfg, key, cin: int, cout_tail: Optional[int],
-                         n_blocks: int) -> Tuple[Dict, Dict]:
+                         n_blocks: int,
+                         tail_bias: bool = True) -> Tuple[Dict, Dict]:
     """A stack of padding-0 ConvBlock3Ds (+ optional plain conv tail)."""
     n = int(cfg.nfc)
     keys = jax.random.split(key, n_blocks + 1)
@@ -357,7 +359,8 @@ def _baseline_stage_init(cfg, key, cin: int, cout_tail: Optional[int],
     params: Dict = {"blocks": blocks_p}
     state: Dict = {"blocks": blocks_s}
     if cout_tail is not None:
-        params["tail"] = conv3d_init(keys[-1], n, cout_tail, cfg.ker_size)
+        params["tail"] = conv3d_init(keys[-1], n, cout_tail, cfg.ker_size,
+                                     bias=tail_bias)
     return params, state
 
 
@@ -431,8 +434,12 @@ def generator_csg_apply(cfg, params, state, *, noise_init, amps, key,
 def generator_sg_init(cfg, key) -> Tuple[Dict, Dict]:
     """GeneratorSG (networks_3d.py:294-351): growing body of full
     conv-stack stages (head..tail inside each stage)."""
+    # tail conv WITHOUT bias: the reference SG stage tail omits has_bias
+    # (MindSpore default False, networks_3d.py:324-325) — unlike CSG's
+    # explicit has_bias=True tail (:260)
     stage_p, stage_s = _baseline_stage_init(cfg, key, cfg.nc_im, cfg.nc_im,
-                                            cfg.num_layer + 1)
+                                            tail_bias=False,
+                                            n_blocks=cfg.num_layer + 1)
     return ({"body": [stage_p]}, {"body": [stage_s]})
 
 

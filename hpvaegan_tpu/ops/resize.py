@@ -33,22 +33,15 @@ from ..utils import pyramid
 
 @functools.lru_cache(maxsize=None)
 def _interp_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
-    """Dense (n_out, n_in) 1-D linear interpolation matrix."""
+    """Dense (n_out, n_in) 1-D linear interpolation matrix, derived from
+    _interp_gather so the source-index/clamp math exists in exactly one
+    place (the two forms must stay bit-identical: the gather feeds the
+    model/data resizes, the matrix feeds ops/pallas/upsample_noise)."""
+    lo, hi, frac = _interp_gather(n_in, n_out, align_corners)
     w = np.zeros((n_out, n_in), dtype=np.float32)
-    if n_in == 1:
-        w[:, 0] = 1.0
-        return w
-    for i in range(n_out):
-        if align_corners:
-            src = i * (n_in - 1) / (n_out - 1) if n_out > 1 else 0.0
-        else:
-            src = (i + 0.5) * n_in / n_out - 0.5
-        src = min(max(src, 0.0), n_in - 1)
-        lo = int(np.floor(src))
-        hi = min(lo + 1, n_in - 1)
-        frac = src - lo
-        w[i, lo] += 1.0 - frac
-        w[i, hi] += frac
+    rows = np.arange(n_out)
+    np.add.at(w, (rows, lo), 1.0 - frac)
+    np.add.at(w, (rows, hi), frac)
     return w
 
 

@@ -247,3 +247,82 @@ def test_bf16_latents_stay_f32_all_encoder_variants():
     (mue, lve), _ = networks_2d.encode2dvae_apply(cfg, pe, se, x,
                                                   compute_dtype=bf16)
     assert mue.dtype == f32 and lve.dtype == f32
+
+
+def test_vae_nb_stop_gradient_unconditional_under_train_all():
+    """Reference parity: GeneratorHPVAEGAN skips the VAE-boundary
+    stop_gradient under --train-all (networks_2d.py:269) but GeneratorVAE_nb
+    stops UNCONDITIONALLY (networks_2d.py:366) — gradients from the
+    refinement output must never reach VAE_nb's decoder, train_all or not."""
+    def decoder_grad_norm(name, train_all):
+        cfg = tiny_cfg(vae_levels=1)
+        cfg.train_all = train_all
+        g_init, g_apply = models.get_generator(name, 2)
+        p, s = g_init(cfg, jax.random.PRNGKey(0))
+        from hpvaegan_tpu.models.networks_2d import generator_init_next_stage
+        p, s = generator_init_next_stage(cfg, p, s, jax.random.PRNGKey(1))
+        amps = jnp.ones((cfg.stop_scale + 2,))
+        h0, w0 = scale_size_2d(0, cfg.scale_factor, cfg.stop_scale,
+                               cfg.img_size, 1.0)
+        video = jnp.ones((1, h0, w0, 3)) * 0.1
+
+        def loss(dec):
+            out, _ = g_apply(cfg, {**p, "decoder": dec}, s, video=video,
+                             amps=amps, key=jax.random.PRNGKey(2), train=True)
+            return jnp.sum(out[0] ** 2)  # refinement output ONLY
+
+        g = jax.grad(loss)(p["decoder"])
+        return sum(float(jnp.sum(jnp.abs(l)))
+                   for l in jax.tree_util.tree_leaves(g))
+
+    # boundary stop always cuts the refinement path without train_all
+    assert decoder_grad_norm("GeneratorHPVAEGAN", False) == 0.0
+    assert decoder_grad_norm("GeneratorVAE_nb", False) == 0.0
+    # --train-all: HPVAEGAN lets gradients through, VAE_nb must NOT
+    assert decoder_grad_norm("GeneratorHPVAEGAN", True) > 0.0
+    assert decoder_grad_norm("GeneratorVAE_nb", True) == 0.0
+
+
+def test_pair_forward_rejects_unequal_batches():
+    """Grouped BN splits the stacked batch into equal halves; an unequal
+    fake batch would silently mix recon/fake rows in one BN group."""
+    cfg = tiny_cfg()
+    g_init, _ = models.get_generator("GeneratorHPVAEGAN", 2)
+    pair = models.get_generator_pair("GeneratorHPVAEGAN", 2)
+    p, s = g_init(cfg, jax.random.PRNGKey(0))
+    h0, w0 = scale_size_2d(0, cfg.scale_factor, cfg.stop_scale, cfg.img_size,
+                           1.0)
+    video = jnp.zeros((2, h0, w0, 3))
+    noise = jnp.zeros((6, h0, w0, cfg.latent_dim))
+    amps = jnp.ones((cfg.stop_scale + 2,))
+    with pytest.raises(AssertionError):
+        pair(cfg, p, s, video=video, amps=amps, noise_init=noise,
+             key=jax.random.PRNGKey(1), train=True)
+
+
+def test_generator_sg_tail_has_no_bias():
+    """Reference SG stage tail omits has_bias (MindSpore default False,
+    networks_3d.py:324-325); CSG's tail keeps its explicit has_bias=True."""
+    cfg = tiny_cfg(video_path="x")
+    sg_p, _ = models.get_generator("GeneratorSG", 3)[0](cfg,
+                                                        jax.random.PRNGKey(0))
+    assert "b" not in sg_p["body"][0]["tail"]
+    csg_p, _ = models.get_generator("GeneratorCSG", 3)[0](cfg,
+                                                          jax.random.PRNGKey(0))
+    assert "b" in csg_p["tail"]
+
+
+def test_interp_matrix_matches_gather():
+    """_interp_matrix is derived from _interp_gather; the two forms must be
+    bit-identical (gather feeds model/data resizes, matrix feeds the Pallas
+    kernel)."""
+    from hpvaegan_tpu.ops.resize import _interp_gather, _interp_matrix
+
+    for n_in, n_out in [(1, 5), (5, 1), (7, 13), (13, 7), (4, 4)]:
+        for ac in (True, False):
+            w = _interp_matrix(n_in, n_out, ac)
+            lo, hi, frac = _interp_gather(n_in, n_out, ac)
+            x = np.random.RandomState(0).randn(n_in).astype(np.float32)
+            via_gather = x[lo] * (1 - frac) + x[hi] * frac
+            np.testing.assert_allclose(w @ x, via_gather, rtol=1e-6)
+            np.testing.assert_allclose(w.sum(axis=1), 1.0, rtol=1e-6)
