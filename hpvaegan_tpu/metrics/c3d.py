@@ -40,7 +40,11 @@ class C3D:
         self.output_blocks = sorted(output_blocks)
         self.last_needed_block = max(output_blocks)
         weights = weights or os.environ.get("HPVAEGAN_C3D_WEIGHTS", "")
-        if weights and os.path.exists(weights):
+        if weights and not os.path.exists(weights):
+            # an EXPLICIT weights request must not silently degrade to
+            # random features (plausible-looking but meaningless SVFID)
+            raise FileNotFoundError(f"C3D weights file not found: {weights}")
+        if weights:
             self.params = {k: np.asarray(v) for k, v in np.load(weights).items()}
             self.pretrained = True
         else:
@@ -58,8 +62,17 @@ class C3D:
             self.pretrained = False
         params = {k: jnp.asarray(v) for k, v in self.params.items()}
 
+        pretrained = self.pretrained
+
         def forward(x):
-            x = x * 2.0 - 1.0
+            if pretrained:
+                # the C3D-pytorch Sports-1M weights (tools/metric_weights.py)
+                # consume RGB in [0, 255] (their predict pipeline: skimage
+                # resize -> *255, no mean subtraction); feeding [-1,1] would
+                # put conv1 ~100x below the trained input scale
+                x = x * 255.0
+            else:
+                x = x * 2.0 - 1.0
             outs = []
             for bi, block in enumerate(_BLOCKS):
                 if bi > self.last_needed_block:

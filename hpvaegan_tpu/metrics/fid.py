@@ -55,6 +55,14 @@ def _positionwise_stats(feats: np.ndarray):
     return mu, sigma
 
 
+def _block_out(model, outs, dims: int):
+    """Select the `dims` block from a model's output list — a
+    caller-supplied model may have been built with MORE output blocks, so
+    [-1] would silently return the wrong features."""
+    idx = model.output_blocks.index(model.BLOCK_INDEX_BY_DIM[dims])
+    return outs[idx]
+
+
 def sifid_arrays(reals: np.ndarray, fakes: np.ndarray,
                  dims: int = 64, model: Optional[InceptionV3] = None,
                  weights: Optional[str] = None) -> List[float]:
@@ -65,8 +73,8 @@ def sifid_arrays(reals: np.ndarray, fakes: np.ndarray,
     vals = []
     for i in range(len(fakes)):
         real = reals[min(i, len(reals) - 1)]
-        f_real = np.asarray(model(real[None])[-1])
-        f_fake = np.asarray(model(fakes[i][None])[-1])
+        f_real = np.asarray(_block_out(model, model(real[None]), dims))
+        f_fake = np.asarray(_block_out(model, model(fakes[i][None]), dims))
         m1, s1 = _positionwise_stats(f_real)
         m2, s2 = _positionwise_stats(f_fake)
         vals.append(float(calculate_frechet_distance(m2, s2, m1, s1)))
@@ -81,8 +89,8 @@ def svfid_arrays(reals: np.ndarray, fakes: np.ndarray,
     vals = []
     for i in range(len(fakes)):
         real = reals[min(i, len(reals) - 1)]
-        f_real = np.asarray(model(real[None])[-1])
-        f_fake = np.asarray(model(fakes[i][None])[-1])
+        f_real = np.asarray(_block_out(model, model(real[None]), dims))
+        f_fake = np.asarray(_block_out(model, model(fakes[i][None]), dims))
         m1, s1 = _positionwise_stats(f_real)
         m2, s2 = _positionwise_stats(f_fake)
         vals.append(float(calculate_frechet_distance(m2, s2, m1, s1)))
@@ -94,7 +102,11 @@ def _load_images(files) -> np.ndarray:
 
     imgs = []
     for f in files:
-        img = np.asarray(imageio.imread(str(f))).astype(np.float32)[..., :3]
+        img = np.asarray(imageio.imread(str(f))).astype(np.float32)
+        if img.ndim == 2:
+            # grayscale: [..., :3] on an (H, W) array would slice WIDTH
+            img = np.stack([img] * 3, axis=-1)
+        img = img[..., :3]
         imgs.append(img / 255.0)
     return np.stack(imgs)
 
@@ -108,17 +120,22 @@ def calculate_SIFID(real_dir: str, fake_dir: str, batch_size: int = 1,
         sorted(pathlib.Path(real_dir).glob("*.png"))
     fake_files = sorted(pathlib.Path(fake_dir).glob(f"*.{suffix}"))
     assert real_files and fake_files, (real_dir, fake_dir)
+    # ONE model for the whole directory: a fresh InceptionV3 per pair costs
+    # a full retrace+compile (~17 s through the remote-TPU tunnel) per file
+    model = InceptionV3([InceptionV3.BLOCK_INDEX_BY_DIM[dims]],
+                        weights=weights)
     vals = []
     for i, fake in enumerate(fake_files):
         real = real_files[min(i, len(real_files) - 1)]
         reals = _load_images([real])
         fakes = _load_images([fake])
         if reals.shape != fakes.shape:
-            # per-pair metric needs same grid; center-crop to the overlap
+            # per-pair metric needs same grid; crop both to the TOP-LEFT
+            # overlap (matches how the pyramid anchors content)
             h = min(reals.shape[1], fakes.shape[1])
             w = min(reals.shape[2], fakes.shape[2])
             reals, fakes = reals[:, :h, :w], fakes[:, :h, :w]
-        vals.extend(sifid_arrays(reals, fakes, dims, weights=weights))
+        vals.extend(sifid_arrays(reals, fakes, dims, model=model))
     return float(np.asarray(vals, np.float32).mean())
 
 
@@ -133,11 +150,16 @@ def calculate_SVFID(real_dir: str, fake_dir: str, batch_size: int = 1,
     assert real_files and fake_files, (real_dir, fake_dir)
 
     def load(f):
-        arr = np.load(str(f)).astype(np.float32)
-        if arr.max() > 1.5:
+        raw = np.load(str(f))
+        arr = raw.astype(np.float32)
+        # dtype is authoritative: a NEAR-BLACK uint8 video (max <= 1) must
+        # still be scaled, or it gets compared ~255x off its real pair.
+        # The float heuristic stays for float arrays saved in [0,255].
+        if raw.dtype == np.uint8 or arr.max() > 1.5:
             arr = arr / 255.0
         return arr
 
+    model = C3D([C3D.BLOCK_INDEX_BY_DIM[dims]], weights=weights)
     vals = []
     for i, fake in enumerate(fake_files):
         real = real_files[min(i, len(real_files) - 1)]
@@ -146,5 +168,5 @@ def calculate_SVFID(real_dir: str, fake_dir: str, batch_size: int = 1,
         h = min(r.shape[1], f.shape[1])
         w = min(r.shape[2], f.shape[2])
         vals.extend(svfid_arrays(r[None, :t, :h, :w], f[None, :t, :h, :w],
-                                 dims, weights=weights))
+                                 dims, model=model))
     return float(np.asarray(vals, np.float32).mean())

@@ -199,7 +199,12 @@ class InceptionV3:
         self.output_blocks = sorted(output_blocks)
         self.last_needed_block = max(output_blocks)
         weights = weights or os.environ.get("HPVAEGAN_INCEPTION_WEIGHTS", "")
-        if weights and os.path.exists(weights):
+        if weights and not os.path.exists(weights):
+            # an EXPLICIT weights request must not silently degrade to
+            # random features (plausible-looking but meaningless SIFID)
+            raise FileNotFoundError(
+                f"Inception weights file not found: {weights}")
+        if weights:
             self.params = {k: np.asarray(v) for k, v in np.load(weights).items()}
             self.pretrained = True
         else:

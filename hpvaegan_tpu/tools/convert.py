@@ -322,6 +322,19 @@ def _m2t_discriminator(ms: Dict) -> Dict:
     return out
 
 
+def _check_mapped(ms: Dict, mapped: Dict, kind: str) -> None:
+    """The name mappers silently skip unrecognized keys; a checkpoint that
+    maps to (almost) nothing is the WRONG checkpoint (e.g. a netD file fed
+    to the generator loader) and must fail here, not as a cryptic pytree
+    shape error downstream."""
+    if len(mapped) < max(1, len(ms) // 2):
+        sample = ", ".join(sorted(ms)[:5])
+        raise ValueError(
+            f"only {len(mapped)}/{len(ms)} checkpoint entries map to "
+            f"{kind} parameter names — wrong checkpoint type? "
+            f"(sample keys: {sample})")
+
+
 def m2j_HPVAEGAN(ms_ckpt: Dict, ndim: int = 2) -> Tuple[Dict, Dict]:
     """MindSpore checkpoint dict ({name: array}, e.g. from
     tools.ms_ckpt.load_ms_checkpoint) -> (params, state). Covers the
@@ -329,14 +342,18 @@ def m2j_HPVAEGAN(ms_ckpt: Dict, ndim: int = 2) -> Tuple[Dict, Dict]:
     implements as mindspore.load_checkpoint + m2m_HPVAEGAN_2d; here the MS
     names are mapped back to the original torch naming and the torch
     converter pipeline is reused (transposes, SN v re-permutation)."""
-    return p2j_HPVAEGAN(_m2t_generator(ms_ckpt), ndim=ndim)
+    t = _m2t_generator(ms_ckpt)
+    _check_mapped(ms_ckpt, t, "generator")
+    return p2j_HPVAEGAN(t, ndim=ndim)
 
 
 def m2j_WDiscriminator(ms_ckpt: Dict, ndim: int = 2) -> Tuple[Dict, Dict]:
     """MindSpore WDiscriminator checkpoint dict -> (params, state) —
     including the 3D case the reference references but never implemented
     (train_video.py:57,61 calls a missing m2m_WDiscriminator_3d)."""
-    return p2j_WDiscriminator(_m2t_discriminator(ms_ckpt), ndim=ndim)
+    t = _m2t_discriminator(ms_ckpt)
+    _check_mapped(ms_ckpt, t, "discriminator")
+    return p2j_WDiscriminator(t, ndim=ndim)
 
 
 def _conv_w_inv(w, ndim: int):
@@ -452,7 +469,10 @@ def t2m_HPVAEGAN(sd: Dict, ndim: int = 2) -> Dict:
                 m2 = re.search(r"block(\d+)\.", key)
                 key = key.replace(m2.group(0), f"{int(m2.group(1)) + 1}.", 1)
             elif ".tail." in key:
-                key = key.replace("tail.", f"{n_blocks.get(stack, 5) + 1}.",
+                # a stack with NO block layers (num_layer=0) has head=0,
+                # tail=1 — the fallback must be 0 middle blocks, not the
+                # reference's default num_layer
+                key = key.replace("tail.", f"{n_blocks.get(stack, 0) + 1}.",
                                   1)
             if "conv." in key:
                 key = key.replace("conv.", "0.", 1)

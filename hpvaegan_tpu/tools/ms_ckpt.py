@@ -103,10 +103,20 @@ def _fields(buf: bytes):
             val, i = _read_varint(buf, i)
         elif wire == 2:  # length-delimited
             n, i = _read_varint(buf, i)
+            if i + n > len(buf):
+                # a silent short slice would 'successfully' parse a
+                # truncated checkpoint with trailing parameters dropped
+                raise ValueError(
+                    f"truncated length-delimited field {field}: needs "
+                    f"{n} bytes, {len(buf) - i} remain")
             val, i = buf[i:i + n], i + n
         elif wire == 5:  # 32-bit (not used by checkpoint.proto; skip)
+            if i + 4 > len(buf):
+                raise ValueError("truncated 32-bit field")
             val, i = buf[i:i + 4], i + 4
         elif wire == 1:  # 64-bit
+            if i + 8 > len(buf):
+                raise ValueError("truncated 64-bit field")
             val, i = buf[i:i + 8], i + 8
         else:
             raise ValueError(f"unsupported wire type {wire}")

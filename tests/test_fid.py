@@ -39,3 +39,56 @@ def test_svfid_runs_on_videos():
     vids = rng.rand(1, 4, 16, 16, 3).astype(np.float32)
     vals = svfid_arrays(vids, vids.copy())
     assert max(abs(v) for v in vals) < 1e-3
+
+
+def test_load_images_grayscale(tmp_path):
+    """Grayscale files must promote to 3 channels ([..., :3] on an (H, W)
+    array would slice the WIDTH axis)."""
+    import imageio
+
+    from hpvaegan_tpu.metrics.fid import _load_images
+
+    imageio.imwrite(str(tmp_path / "g.png"),
+                    np.arange(64, dtype=np.uint8).reshape(8, 8))
+    imgs = _load_images([tmp_path / "g.png"])
+    assert imgs.shape == (1, 8, 8, 3)
+
+
+def test_svfid_dark_uint8_video_scaled_by_dtype(tmp_path):
+    """A near-black uint8 video (max <= 1) must still be scaled by 255 —
+    dtype is authoritative, not the value range."""
+    from hpvaegan_tpu.metrics.fid import calculate_SVFID
+
+    rng = np.random.RandomState(0)
+    real = (rng.rand(4, 16, 16, 3) * 255).astype(np.uint8)
+    dark = np.zeros((4, 16, 16, 3), np.uint8)
+    dark[0, 0, 0, 0] = 1
+    rdir, fdir = tmp_path / "r", tmp_path / "f"
+    rdir.mkdir(), fdir.mkdir()
+    np.save(rdir / "v.npy", real)
+    np.save(fdir / "v.npy", dark)
+    val = calculate_SVFID(str(rdir), str(fdir))
+    # the dark video now compares in [0,1] like its real pair: the distance
+    # must stay at feature scale, not explode by the old ~255x mismatch
+    assert np.isfinite(val)
+    real01 = (real.astype(np.float32) / 255.0 * 255).astype(np.uint8)
+    np.save(fdir / "v.npy", real01)
+    same = calculate_SVFID(str(rdir), str(fdir))
+    assert val > same  # and identical pairs score lower
+
+
+def test_missing_explicit_weights_fail_loudly(tmp_path, monkeypatch):
+    """An explicit (arg or env) weights path that does not exist must raise,
+    not silently fall back to random features."""
+    import pytest
+
+    from hpvaegan_tpu.metrics.c3d import C3D
+    from hpvaegan_tpu.metrics.inception import InceptionV3
+
+    with pytest.raises(FileNotFoundError):
+        InceptionV3([0], weights=str(tmp_path / "nope.npz"))
+    with pytest.raises(FileNotFoundError):
+        C3D([0], weights=str(tmp_path / "nope.npz"))
+    monkeypatch.setenv("HPVAEGAN_INCEPTION_WEIGHTS", str(tmp_path / "n.npz"))
+    with pytest.raises(FileNotFoundError):
+        InceptionV3([0])

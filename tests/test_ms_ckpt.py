@@ -483,3 +483,39 @@ def test_ms_loaded_generator_runs(tmp_path):
                      noise_init=noise, key=jax.random.PRNGKey(0),
                      is_random=True, train=True)
     assert np.all(np.isfinite(np.asarray(out[0])))
+
+
+def test_truncated_length_delimited_field_fails_loudly(tmp_path):
+    """A checkpoint truncated inside a length-delimited field must raise,
+    not 'successfully' parse with trailing parameters dropped (a dropped
+    weight_u/weight_v would silently become a random SN vector)."""
+    import numpy as np
+    import pytest
+
+    from hpvaegan_tpu.tools.ms_ckpt import load_ms_checkpoint, \
+        save_ms_checkpoint
+
+    path = str(tmp_path / "x.ckpt")
+    save_ms_checkpoint({"a.weight": np.ones((4, 4), np.float32),
+                        "b.weight_u": np.ones((4, 1), np.float32)}, path)
+    blob = open(path, "rb").read()
+    with open(path, "wb") as f:
+        f.write(blob[:-7])  # cut inside the last tensor payload
+    with pytest.raises(ValueError, match="truncated"):
+        load_ms_checkpoint(path)
+
+
+def test_m2j_rejects_wrong_checkpoint_type():
+    """Feeding a discriminator checkpoint to the generator loader (an easy
+    netG/netD filename mix-up) must fail loudly at the mapper, not as a
+    cryptic pytree error downstream."""
+    import numpy as np
+    import pytest
+
+    from hpvaegan_tpu.tools.convert import m2j_HPVAEGAN
+
+    netd_like = {"head.0.weight_orig": np.ones((8, 3, 3, 3), np.float32),
+                 "head.0.weight_u": np.ones((8, 1), np.float32),
+                 "tail.0.weight": np.ones((1, 8), np.float32)}
+    with pytest.raises(ValueError, match="wrong checkpoint type"):
+        m2j_HPVAEGAN(netd_like, ndim=2)
