@@ -277,9 +277,6 @@ def _supervised_reexec() -> None:
     remote compile) or exceeds BENCH_ATTEMPT_DEADLINE (default 3600 s),
     and retry up to BENCH_ATTEMPTS (default 3) times. stdout keeps the
     one-JSON-line contract: only the child's last stdout line is emitted."""
-    import subprocess
-    import threading
-
     rc, line = supervise(
         [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
         attempts=int(os.environ.get("BENCH_ATTEMPTS", "3")),
@@ -350,6 +347,9 @@ def supervise(child_argv, attempts: int, stall_s: float, deadline_s: float,
             t.join(timeout=10)
         if proc.returncode == 0 and out_lines:
             return 0, out_lines[-1]
+        if proc.returncode == 2:
+            # argparse usage error — deterministic, retrying is noise
+            return 2, out_lines[-1] if out_lines else ""
         log(f"bench supervisor: attempt {attempt} rc={proc.returncode}; "
             f"{'retrying in a fresh process' if attempt < attempts else 'giving up'}")
     return 1, ""
@@ -357,9 +357,6 @@ def supervise(child_argv, attempts: int, stall_s: float, deadline_s: float,
 
 def main():
     import argparse
-
-    if os.environ.get("_BENCH_CHILD") != "1":
-        _supervised_reexec()
 
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=64)
@@ -389,13 +386,22 @@ def main():
                    "run reports all BASELINE.md rows)")
     args = p.parse_args()
 
-    # validate --xla-option BEFORE any bench runs (a malformed option must
-    # not surface only after minutes of TPU compiles)
+    # validate EVERY input BEFORE any bench runs (a malformed option or a
+    # missing baseline file must not surface after minutes of TPU compiles
+    # — let alone after three full supervisor attempts)
     bad = [s for s in args.xla_options or [] if "=" not in s]
     if bad:
         p.error(f"--xla-option expects KEY=VALUE, got: {', '.join(bad)}")
     xla_opts = dict(s.split("=", 1) for s in args.xla_options) \
         if args.xla_options else None
+    try:
+        target_steps_per_sec()
+    except Exception as e:
+        p.error(f"benchdata/cpu_baseline.json unusable ({e!r}); regenerate "
+                "with scripts/measure_cpu_baseline.py")
+
+    if os.environ.get("_BENCH_CHILD") != "1":
+        _supervised_reexec()
 
     log(f"devices: {jax.devices()}")
     if args.all_scales:

@@ -178,7 +178,11 @@ class Config:
         names = {f.name for f in dataclasses.fields(cls)}
         with open(path, "r") as f:
             for line in f.readlines():
-                parts = line.replace(" ", "").replace("\n", "").split(":", 1)
+                # strip EDGES only — blanket space removal would corrupt
+                # any value containing a space (e.g. a path under
+                # '/data/my photos/'), failing eval/export rehydration
+                # long after training completed fine
+                parts = [p.strip() for p in line.split(":", 1)]
                 if len(parts) != 2 or parts[0] in exceptions or parts[0] not in names:
                     continue
                 try:

@@ -200,7 +200,9 @@ def eval_image_experiment(cfg, exp_dir: str, seed: int = 0):
                                mesh=mesh)
     # reference artifact layout: (N, C, H, W); one writer, and a barrier so
     # non-primary processes read the PNGs only after they exist (shared FS)
-    real_dir = os.path.dirname(os.path.abspath(cfg.image_path))
+    # the trained image FILE, not its directory: sibling images would
+    # sort into the real set and pair with every fake (fid.py pairing)
+    real_dir = os.path.abspath(cfg.image_path)
     fake_dir = os.path.join(saver.eval_dir, cfg.save_path)
     sifid = 0.0
     if multihost.is_primary():

@@ -115,9 +115,15 @@ def calculate_SIFID(real_dir: str, fake_dir: str, batch_size: int = 1,
                     dims: int = 64, suffix: str = "png",
                     weights: Optional[str] = None) -> float:
     """Directory-level SIFID (reference fid_score.py:183-211: reals glob
-    *.jpg, fakes glob *.<suffix>)."""
-    real_files = sorted(pathlib.Path(real_dir).glob("*.jpg")) or \
-        sorted(pathlib.Path(real_dir).glob("*.png"))
+    *.jpg, fakes glob *.<suffix>). real_dir may also be a single image FILE
+    — the eval/serving paths score against the one trained image, not
+    whatever else shares its directory."""
+    real_path = pathlib.Path(real_dir)
+    if real_path.is_file():
+        real_files = [real_path]
+    else:
+        real_files = sorted(real_path.glob("*.jpg")) or \
+            sorted(real_path.glob("*.png"))
     fake_files = sorted(pathlib.Path(fake_dir).glob(f"*.{suffix}"))
     assert real_files and fake_files, (real_dir, fake_dir)
     # ONE model for the whole directory: a fresh InceptionV3 per pair costs

@@ -32,9 +32,11 @@ def generate_images(cfg, saver) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     samples = np.load(fakes_path)  # (N, C, H, W) in [-1, 1]
+    # ONE cap: --max-samples (the reference's extra hardcoded [:20],
+    # extract.py:37, silently ignored the flag above 20)
     samples = samples.transpose(0, 2, 3, 1)[:cfg.max_samples]
     samples = (samples + 1) / 2
-    samples = (samples[:20] * 255).astype(np.uint8)
+    samples = (samples * 255).astype(np.uint8)
     for i, sample in enumerate(samples):
         imageio.imwrite(os.path.join(out_dir, f"fake_{i}.png"), sample)
 

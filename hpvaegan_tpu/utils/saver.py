@@ -141,8 +141,13 @@ class DataSaver:
             self.directory = os.path.join(getattr(cfg, "run_dir", "run"),
                                           clip_name, cfg.checkname)
             if run_id is None:
-                runs = sorted(glob.glob(os.path.join(self.directory, "experiment_*")))
-                run_id = int(runs[-1].split("_")[-1]) + 1 if runs else 0
+                # numeric max, NOT lexicographic sort: after experiment_9 a
+                # string sort returns '9' as the newest and run 11 would
+                # silently overwrite experiment_10 (reference bug, fixed)
+                runs = glob.glob(os.path.join(self.directory, "experiment_*"))
+                ids = [int(r.split("_")[-1]) for r in runs
+                       if r.split("_")[-1].isdigit()]
+                run_id = max(ids) + 1 if ids else 0
             self.experiment_dir = os.path.join(self.directory,
                                                "experiment_{}".format(run_id))
         else:

@@ -91,7 +91,16 @@ def main():
     if cfg.scale_idx == -1:
         import json
         with open(os.path.join(args.exp_dir, 'intermediate.json')) as f:
-            cfg.scale_idx = int(json.load(f)['scale_idx'])
+            inter = json.load(f)
+        cfg.scale_idx = int(inter['scale_idx'])
+        if inter.get('inflight'):
+            # mid-scale marker (--ckpt-interval) names the IN-PROGRESS
+            # scale; the runner output was exported from the last
+            # FINALIZED one (preprocess.pre_process applies the same rule)
+            if cfg.scale_idx == 0:
+                raise RuntimeError('training is mid-scale 0; nothing '
+                                   'finalized to post-process yet')
+            cfg.scale_idx -= 1
 
     result_dir = args.result_dir or os.path.join(args.exp_dir, 'infer',
                                                  'result')
@@ -101,8 +110,9 @@ def main():
         print(f'SVFID: {svfid}')
     else:
         fake_dir = post_process(cfg, args.exp_dir, result_dir)
-        real_dir = os.path.dirname(os.path.abspath(cfg.image_path))
-        sifid = calculate_SIFID(real_dir, fake_dir)
+        # score against the TRAINED image only — its parent dir may hold
+        # other images that would sort first and pair with every fake
+        sifid = calculate_SIFID(os.path.abspath(cfg.image_path), fake_dir)
         print(f'SIFID: {sifid}')
 
 

@@ -26,6 +26,15 @@ def pre_process(cfg, exp_dir: str, seed: int = 0, num_samples: int = 1):
         inter = json.load(f)
     if cfg.scale_idx == -1:
         cfg.scale_idx = int(inter["scale_idx"])
+        if inter.get("inflight"):
+            # a mid-scale (--ckpt-interval) marker names the IN-PROGRESS
+            # scale, whose netG_<k> does not exist yet — serve the last
+            # FINALIZED scale instead
+            if cfg.scale_idx == 0:
+                raise RuntimeError(
+                    "training is mid-scale 0 (inflight checkpoint only); "
+                    "no finalized scale to serve yet")
+            cfg.scale_idx -= 1
     amps = np.zeros((cfg.stop_scale + 2,), np.float32)
     vals = inter["noise_amps"][:cfg.scale_idx + 1]
     amps[:len(vals)] = vals
@@ -76,10 +85,13 @@ def main():
     parser.add_argument('--num-samples', type=int, default=1,
                         help='noise bins to write (runner executes one '
                         'inference per bin and averages latency)')
+    parser.add_argument('--batch-size', type=int, default=1,
+                        help='must match the export\'s --batch-size (the '
+                        'runner validates bin bytes against io_spec.txt)')
     args = parser.parse_args()
 
     cfg = Config.from_args_txt(os.path.join(args.exp_dir, 'args.txt'))
-    cfg.batch_size = 1
+    cfg.batch_size = args.batch_size
     cfg.scale_idx = args.scale_idx
     pre_process(cfg, args.exp_dir, seed=args.seed,
                 num_samples=args.num_samples)

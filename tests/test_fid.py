@@ -92,3 +92,23 @@ def test_missing_explicit_weights_fail_loudly(tmp_path, monkeypatch):
     monkeypatch.setenv("HPVAEGAN_INCEPTION_WEIGHTS", str(tmp_path / "n.npz"))
     with pytest.raises(FileNotFoundError):
         InceptionV3([0])
+
+
+def test_calculate_sifid_accepts_single_real_file(tmp_path):
+    """The eval/serving paths score against the ONE trained image; a sibling
+    image in the same directory must not enter the real set."""
+    import imageio
+
+    from hpvaegan_tpu.metrics.fid import calculate_SIFID
+
+    rng = np.random.RandomState(0)
+    trained = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    sibling = np.zeros((16, 16, 3), np.uint8)  # would sort FIRST as a dir
+    imageio.imwrite(str(tmp_path / "a_sibling.jpg"), sibling)
+    imageio.imwrite(str(tmp_path / "trained.jpg"), trained)
+    fdir = tmp_path / "fakes"
+    fdir.mkdir()
+    imageio.imwrite(str(fdir / "fake_0.png"), trained)  # identical to real
+    via_file = calculate_SIFID(str(tmp_path / "trained.jpg"), str(fdir))
+    via_dir = calculate_SIFID(str(tmp_path), str(fdir))
+    assert via_file < via_dir  # dir pairing scored against the sibling

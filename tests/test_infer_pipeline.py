@@ -136,3 +136,32 @@ def test_infer_pipeline_video(tmp_path):
     fake = np.load(os.path.join(infer, "videos", "fake_0_0.npy"))
     real = np.load(os.path.join(infer, "real", "real_full_scale.npy"))
     assert fake.shape == real.shape and fake.dtype == np.uint8
+
+
+def test_preprocess_serves_last_finalized_scale_when_inflight(tmp_path):
+    """A mid-scale (--ckpt-interval) intermediate.json names the IN-PROGRESS
+    scale; preprocess must resolve to the last FINALIZED one (its netG_<k>
+    is the newest checkpoint that exists)."""
+    import json
+
+    import pytest
+
+    from hpvaegan_tpu.config import Config
+    from preprocess import pre_process
+
+    cfg = Config(image_path=IMG, img_size=24, min_size=12,
+                 max_size=24).finalize()
+    cfg.ar = 1.0
+    with open(tmp_path / "intermediate.json", "w") as f:
+        json.dump({"noise_amps": [1.0, 0.1, 0.1], "scale_idx": 2,
+                   "inflight": "inflight_2.ckpt", "inflight_iter": 4}, f)
+    cfg.scale_idx = -1
+    pre_process(cfg, str(tmp_path), seed=0)
+    assert cfg.scale_idx == 1
+
+    with open(tmp_path / "intermediate.json", "w") as f:
+        json.dump({"noise_amps": [1.0], "scale_idx": 0,
+                   "inflight": "inflight_0.ckpt", "inflight_iter": 4}, f)
+    cfg.scale_idx = -1
+    with pytest.raises(RuntimeError, match="mid-scale 0"):
+        pre_process(cfg, str(tmp_path), seed=0)

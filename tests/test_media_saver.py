@@ -101,3 +101,42 @@ def test_generate_images_and_gifs_artifacts(tmp_path):
     out = os.path.join(s.eval_dir, "images")
     for f in ("real.gif", "fake.gif", "real_unfold.png", "fake_unfold.png"):
         assert os.path.exists(os.path.join(out, f)), f
+
+
+def test_run_id_numeric_after_ten_runs(tmp_path):
+    """Lexicographic experiment_* sorting would pick experiment_9 as newest
+    after 11 runs and silently overwrite experiment_10 (reference bug)."""
+    import os
+
+    from hpvaegan_tpu.config import Config
+    from hpvaegan_tpu.utils.saver import DataSaver
+
+    cfg = Config(image_path="a/b.jpg", checkname="n", run_dir=str(tmp_path))
+    base = tmp_path / "b" / "n"
+    os.makedirs(base)
+    for i in range(11):  # experiment_0 .. experiment_10
+        os.makedirs(base / f"experiment_{i}")
+    s = DataSaver(cfg)
+    assert s.experiment_dir.endswith("experiment_11")
+
+
+def test_generate_images_honors_max_samples_above_20(tmp_path):
+    """The reference's extra hardcoded [:20] silently capped --max-samples."""
+    import os
+
+    import numpy as np
+
+    from hpvaegan_tpu.utils.media import generate_images
+
+    class S:
+        eval_dir = str(tmp_path)
+
+    class C:
+        max_samples = 25
+        save_path = "images"
+
+    np.save(os.path.join(str(tmp_path), "random_samples.npy"),
+            np.zeros((30, 3, 8, 8), np.float32))
+    generate_images(C, S)
+    out = os.listdir(os.path.join(str(tmp_path), "images"))
+    assert len(out) == 25

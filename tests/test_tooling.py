@@ -176,3 +176,16 @@ def test_soak_analyzer_flags_nonfinite(tmp_path):
         [sys.executable, os.path.join(REPO, "scripts", "analyze_soak.py"),
          str(log)], capture_output=True, text=True, check=True).stdout
     assert "1 intervals with non-finite metrics" in out
+
+
+def test_args_txt_preserves_spaces_in_values(tmp_path):
+    """Rehydration must not strip spaces INSIDE values (a path under
+    '/data/my photos/' would silently dangle after training completed)."""
+    from hpvaegan_tpu.config import Config
+
+    cfg = Config(image_path="/data/my photos/x.jpg", checkname="my run")
+    path = str(tmp_path / "args.txt")
+    cfg.write_args_txt(path)
+    back = Config.from_args_txt(path)
+    assert back.image_path == "/data/my photos/x.jpg"
+    assert back.checkname == "my run"
