@@ -12,13 +12,15 @@ if [ $# != 1 ] && [ $# != 2 ]; then
     exit 1
 fi
 exp_dir=$(realpath "$1")
-plugin=${2:-${PJRT_PLUGIN:-$(python3 -c 'import libtpu, os; print(os.path.join(os.path.dirname(libtpu.__file__), "libtpu.so"))')}}
 repo_dir=$(realpath "$(dirname "$0")/..")
 
-# Remote-TPU (axon) tunnel: libtpu.so needs a local TPU PCI device; when the
-# chip is only reachable through an axon relay (JAX_PLATFORMS=axon), default
-# to the axon PJRT plugin with the same client options the Python backend's
-# registration uses (remote compile on the terminal, loopback pool relay).
+# Remote-TPU (axon) tunnel FIRST: libtpu.so needs a local TPU PCI device;
+# when the chip is only reachable through an axon relay (JAX_PLATFORMS=axon),
+# default to the axon PJRT plugin with the same client options the Python
+# backend's registration uses (remote compile on the terminal, loopback pool
+# relay). The libtpu probe must come AFTER this check — under set -e a
+# missing libtpu wheel would otherwise kill the script on exactly the
+# axon-only hosts this fallback exists for.
 if [ -z "${2:-}" ] && [ -z "${PJRT_PLUGIN:-}" ] && [ -e /opt/axon/libaxon_pjrt.so ] \
    && [ "${JAX_PLATFORMS:-}" = "axon" ]; then
     plugin=/opt/axon/libaxon_pjrt.so
@@ -32,6 +34,8 @@ if [ -z "${2:-}" ] && [ -z "${PJRT_PLUGIN:-}" ] && [ -e /opt/axon/libaxon_pjrt.s
         sid=$(python3 -c 'import uuid; print(uuid.uuid4())')
         PJRT_CLIENT_OPTIONS="remote_compile=int:1;local_only=int:0;priority=int:0;topology=str:${gen}:1x1x1;n_slices=int:1;session_id=str:${sid};rank=int:4294967295"
     fi
+else
+    plugin=${2:-${PJRT_PLUGIN:-$(python3 -c 'import libtpu, os; print(os.path.join(os.path.dirname(libtpu.__file__), "libtpu.so"))')}}
 fi
 
 echo "== export =="
@@ -43,7 +47,10 @@ python3 "$repo_dir/export.py" --exp-dir "$exp_dir" \
 echo "== build runner =="
 bash "$repo_dir/native/pjrt_runner/build.sh" > /dev/null
 
-model=$(ls "$exp_dir"/infer/netG_*.mlir | head -1)
+# NEWEST export, not the lexicographically smallest — netG_5.mlir from an
+# older --netG export (or netG_10 vs netG_9) would otherwise be compiled
+# against the just-rewritten io_spec/noise bins of a different scale
+model=$(ls -t "$exp_dir"/infer/netG_*.mlir | head -1)
 opts=()
 if [ -n "$PJRT_CLIENT_OPTIONS" ]; then
     IFS=';' read -ra kv <<< "$PJRT_CLIENT_OPTIONS"

@@ -37,9 +37,21 @@ d=json.load(open(sys.argv[1])); print(d['scale_idx'], d.get('inflight',''))" "$i
         if [ -n "${inf:-}" ] && [ -f "$exp_dir/$inf" ]; then
             ckpt="$exp_dir/$inf"
         else
-            ckpt="$exp_dir/netG_$idx.ckpt"
+            ckpt="$exp_dir/netG_${idx:-MISSING}.ckpt"
         fi
-        [ -f "$ckpt" ] && resume=(--netG "$ckpt" --intermediate "$inter")
+        if [ -f "$ckpt" ]; then
+            resume=(--netG "$ckpt" --intermediate "$inter")
+        else
+            # an intermediate.json EXISTS but its checkpoint cannot be
+            # resolved (probe failure, missing/renamed file). Starting a
+            # fresh run here would silently abandon every completed scale —
+            # and the fresh run's newer intermediate.json would then pin
+            # all future restarts to the scratch run. Refuse instead.
+            echo "watchdog: $inter exists but checkpoint '$ckpt' is" \
+                 "missing/unresolvable — refusing to restart from scratch" \
+                 "(delete the experiment dir to really start fresh)"
+            exit 1
+        fi
     fi
     "$@" "${resume[@]}" &
     pid=$!
