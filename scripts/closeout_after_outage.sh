@@ -1,0 +1,42 @@
+#!/bin/bash
+# One-command hardware re-validation after a tunnel outage:
+#   1. probe the TPU transport (fail fast if still down),
+#   2. full bench.py at HEAD (all BASELINE.md rows in one JSON line),
+#   3. native serving chain on a trained experiment (export -> rebuilt C++
+#      PJRT runner -> postprocess), then verify the runner's outputs
+#      bit-exactly against the Python execution of the same export,
+#   4. re-record benchdata/serving_latency.json from the runner's report.
+#
+# Usage: bash scripts/closeout_after_outage.sh [EXPERIMENT_DIR]
+# EXPERIMENT_DIR defaults to a trained full-depth 2D 256px experiment (the
+# workload class benchdata/serving_latency.json records); pass any trained
+# experiment dir instead (e.g. the 3D soak at
+# /tmp/run_soak/balloons_pan/soak/experiment_0 to re-verify the 3D chain).
+set -e
+exp=${1:-/tmp/run_full/air_balloons/full/experiment_0}
+cd "$(dirname "$0")/.."
+
+echo "== probe transport =="
+timeout 300 python - <<'EOF'
+import time
+t0 = time.time()
+import jax
+import jax.numpy as jnp
+import numpy as np
+jax.devices()
+x = jnp.ones((256, 256))
+print("tunnel ok:", float(np.asarray((x @ x).sum())),
+      f"({time.time() - t0:.1f}s)", flush=True)
+EOF
+
+echo "== bench (full surface) =="
+python bench.py | tee /tmp/bench_head.json
+
+echo "== native serving chain =="
+NUM_SAMPLES=${NUM_SAMPLES:-8} bash scripts/run_infer_tpu.sh "$exp"
+python scripts/check_runner_bitexact.py "$exp"
+python scripts/record_serving_latency.py "$exp" \
+    "256px full-depth 2D sampler ($(basename "$exp"))"
+
+echo "closeout complete — review /tmp/bench_head.json and" \
+     "benchdata/serving_latency.json, then commit"

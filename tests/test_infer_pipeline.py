@@ -70,6 +70,27 @@ def test_infer_pipeline(tmp_path):
     assert "SIFID:" in out.stdout
     assert os.path.exists(os.path.join(infer, "images", "fake_0_0.png"))
 
+    # scripts/check_runner_bitexact.py (the closeout tool that compares the
+    # hardware runner's outputs against this Python path): with a runner-named
+    # copy of the output it reports bit-exact; with a corrupted byte it fails.
+    import shutil
+    runner_out = os.path.join(infer, "result", "noise_init_output_0.bin")
+    shutil.copy(os.path.join(infer, "result", "output_0.bin"), runner_out)
+    check = [sys.executable,
+             os.path.join(REPO, "scripts", "check_runner_bitexact.py"),
+             exp_dir]
+    out = subprocess.run(check, capture_output=True, text=True, env=env,
+                         cwd=REPO)
+    assert out.returncode == 0, out.stdout + out.stderr[-2000:]
+    assert "bit-exact" in out.stdout
+    with open(runner_out, "r+b") as f:
+        f.seek(0)
+        f.write(b"\xff\xff\xff\xff")
+    out = subprocess.run(check, capture_output=True, text=True, env=env,
+                         cwd=REPO)
+    assert out.returncode == 1, out.stdout + out.stderr[-2000:]
+    assert "NOT bit-exact" in out.stdout
+
 
 def test_preprocess_multi_sample_bins(tmp_path):
     """--num-samples N writes N distinct noise bins and clears stale
