@@ -159,6 +159,27 @@ def generate_samples(cfg, g_params, g_state, ndim: int, seed: int = 0,
     return multihost.to_host(jnp.concatenate(outs, axis=0))
 
 
+def _persist_eval_metrics(saver, cfg, metric: str, value: float) -> None:
+    """Record the eval score as eval/metrics.json (primary-only, atomic).
+
+    The reference only PRINTS its FID (eval_image.py:193); persisting it
+    next to the samples makes experiments comparable after the fact —
+    scripts/compare_runs.py reads this for lever-qualification A/Bs (the
+    round-3 bf16/fused-dg methodology, docs/PERF.md)."""
+    if not multihost.is_primary():
+        return
+    import datetime
+    saver.save_json({
+        "metric": metric,
+        "value": value,
+        "num_samples": cfg.niter * cfg.num_samples,
+        "scale_idx": cfg.scale_idx,
+        "netG": getattr(cfg, "netG", "") or "",
+        "on_device_fid": bool(getattr(cfg, "on_device_fid", False)),
+        "date": datetime.datetime.now().isoformat(timespec="seconds"),
+    }, os.path.join("eval", "metrics.json"))
+
+
 def eval_image_experiment(cfg, exp_dir: str, seed: int = 0):
     """One experiment dir: samples -> npy -> PNGs -> SIFID
     (reference eval_image.py:179-190).
@@ -192,6 +213,7 @@ def eval_image_experiment(cfg, exp_dir: str, seed: int = 0):
             generate_images(cfg, saver)
         sifid = float(np.mean(vals))
         logging.info("SIFID (on-device): %s", sifid)
+        _persist_eval_metrics(saver, cfg, "SIFID", sifid)
         # non-primary must not exit while the primary still writes PNGs
         # (pod launchers commonly reap all processes on first exit)
         multihost.sync("eval_image_artifacts")
@@ -215,6 +237,7 @@ def eval_image_experiment(cfg, exp_dir: str, seed: int = 0):
         sifid = calculate_SIFID(real_dir, fake_dir)
     sifid = multihost.agree_float(sifid)
     logging.info("SIFID: %s", sifid)
+    _persist_eval_metrics(saver, cfg, "SIFID", sifid)
     return sifid, saver
 
 
@@ -263,6 +286,7 @@ def eval_video_experiment(cfg, exp_dir: str, seed: int = 0):
             generate_gifs(cfg, saver)
         svfid = float(np.mean(vals))
         logging.info("SVFID (on-device): %s", svfid)
+        _persist_eval_metrics(saver, cfg, "SVFID", svfid)
         multihost.sync("eval_video_artifacts")
         return svfid, saver
 
@@ -289,6 +313,7 @@ def eval_video_experiment(cfg, exp_dir: str, seed: int = 0):
     svfid = float(np.mean(svfid_arrays(reals[:, :t, :h, :w],
                                        fakes[:, :t, :h, :w])))
     logging.info("SVFID: %s", svfid)
+    _persist_eval_metrics(saver, cfg, "SVFID", svfid)
     multihost.sync("eval_video_artifacts")
     return svfid, saver
 

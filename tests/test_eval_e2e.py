@@ -39,6 +39,26 @@ def test_eval_image_flow(tmp_path):
     assert os.path.exists(os.path.join(esaver.eval_dir, "images",
                                        "fake_0.png"))
 
+    # the score is persisted for post-hoc A/Bs (scripts/compare_runs.py),
+    # not just printed like the reference's (eval_image.py:193)
+    import json
+    import subprocess
+    import sys
+    with open(os.path.join(esaver.eval_dir, "metrics.json")) as f:
+        rec = json.load(f)
+    assert rec["metric"] == "SIFID" and rec["value"] == sifid
+    assert rec["num_samples"] == 3 and rec["on_device_fid"] is False
+
+    # compare_runs over a real experiment layout: self-compare is exact
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "compare_runs.py"),
+         exp_dir, exp_dir, "--amp-tol", "0.001"],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stdout + out.stderr[-2000:]
+    assert "max |amp deviation|: 0.00%" in out.stdout
+    assert "SIFID" in out.stdout
+
 
 def test_eval_video_flow(tmp_path):
     cfg = Config(video_path=VID, checkname="ev", nfc=8, latent_dim=8,
@@ -159,3 +179,9 @@ def test_eval_video_on_device_fid(tmp_path):
     out_dir = os.path.join(esaver.eval_dir, "images")
     assert os.path.exists(os.path.join(out_dir, "fake.gif"))
     assert os.path.exists(os.path.join(out_dir, "real_unfold.png"))
+    # the fast path persists the score too (post-hoc A/B contract)
+    import json
+    with open(os.path.join(esaver.eval_dir, "metrics.json")) as f:
+        rec = json.load(f)
+    assert rec["metric"] == "SVFID" and rec["value"] == svfid
+    assert rec["on_device_fid"] is True and rec["num_samples"] == 8

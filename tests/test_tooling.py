@@ -104,6 +104,52 @@ def test_bench_last_known_picks_newest_real_measurement(tmp_path):
     assert got is not None and got[0]["value"] is not None
 
 
+def test_compare_runs_deltas_gate_and_missing(tmp_path):
+    """scripts/compare_runs.py (the lever-qualification A/B tool): reports
+    per-scale amp deltas and rate speedups, the --amp-tol gate fails on a
+    deviation beyond tolerance, and missing artifacts exit 2."""
+    import json
+
+    def make_exp(name, amps, rate_lines, metrics=None):
+        d = tmp_path / name
+        (d / "eval").mkdir(parents=True)
+        (d / "intermediate.json").write_text(json.dumps(
+            {"noise_amps": amps, "scale_idx": len(amps) - 1}))
+        (d / "logbook.txt").write_text("\n".join(rate_lines) + "\n")
+        if metrics:
+            (d / "eval" / "metrics.json").write_text(json.dumps(metrics))
+        return str(d)
+
+    a = make_exp("a", [1.0, 0.04], [
+        "2026-01-01 00:00:00 scale 0 done in 10.0s (10.00 it/s)",
+        "2026-01-01 00:01:00 scale 1 done in 20.0s (5.00 it/s)",
+    ], {"metric": "SIFID", "value": 0.0094, "num_samples": 50})
+    b = make_exp("b", [1.0, 0.042], [  # amp +5%; scale 1 retried: last wins
+        "2026-01-01 00:00:00 scale 0 done in 5.0s (20.00 it/s)",
+        "2026-01-01 00:01:00 scale 1 done in 99.0s (1.00 it/s)",
+        "2026-01-01 00:02:00 scale 1 done in 10.0s (10.00 it/s)",
+    ], {"metric": "SIFID", "value": 0.0090, "num_samples": 50})
+
+    tool = os.path.join(REPO, "scripts", "compare_runs.py")
+    out = subprocess.run([sys.executable, tool, a, b, "--amp-tol", "10"],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stdout + out.stderr[-2000:]
+    assert "+5.00%" in out.stdout           # amp delta
+    assert "2.00x" in out.stdout            # scale-0 rate speedup (it/s B/A)
+    assert "10.00" in out.stdout            # retried scale: LAST line won
+    assert "SIFID=0.009400" in out.stdout and "SIFID=0.009000" in out.stdout
+
+    # gate: 5% deviation > 1% tolerance
+    out = subprocess.run([sys.executable, tool, a, b, "--amp-tol", "1"],
+                         capture_output=True, text=True)
+    assert out.returncode == 1 and "AMP TOLERANCE EXCEEDED" in out.stdout
+
+    # missing intermediate.json
+    out = subprocess.run([sys.executable, tool, a, str(tmp_path / "nope")],
+                         capture_output=True, text=True)
+    assert out.returncode == 2 and "missing intermediate.json" in out.stdout
+
+
 def test_categorize_uses_instruction_name_only():
     from analyze_xplane import categorize
     # a fusion whose OPERANDS mention %copy must not land in the copy bucket
