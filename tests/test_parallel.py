@@ -337,3 +337,27 @@ def test_video_mesh_training(tmp_path):
     g_params, _, amps, _ = run_training(cfg, mode="video", seed=1)
     assert len(amps) == cfg.stop_scale + 1
     assert all(np.isfinite(a) for a in amps)
+
+
+def test_baselines_mesh_training(tmp_path):
+    """The SinGAN-baselines trainer shares make_train_chunk's mesh path
+    (VERDICT round-1 unification) — run GeneratorCSG on a ('data':2,
+    'sp':4) mesh end to end and check the amp schedule stays finite."""
+    import os
+
+    from hpvaegan_tpu.training.baselines_trainer import run_training as run_b
+
+    vid = os.path.join(os.path.dirname(__file__), "..", "data", "vids",
+                       "synthetic.avi")
+    cfg = Config(video_path=vid, checkname="bmesh", nfc=8, num_layer=1,
+                 niter=2, img_size=18, min_size=9, max_size=18,
+                 sampling_rates=[2, 1], max_frames=5,
+                 generator="GeneratorCSG",
+                 discriminator="WDiscriminatorBaselines",
+                 batch_size=2, mesh_data=2, mesh_sp=4, steps_per_call=2,
+                 print_interval=100, run_dir=str(tmp_path),
+                 manualSeed=1).finalize()
+    g_params, _, amps, saver = run_b(cfg, seed=1)
+    assert len(amps) == cfg.stop_scale + 1
+    assert all(np.isfinite(a) for a in amps)
+    assert os.path.exists(os.path.join(saver.experiment_dir, "Z_init.npy"))
