@@ -288,7 +288,9 @@ def _last_known_bench(here: str = None):
                 parsed = json.load(f).get("parsed") or {}
         except Exception:
             continue
-        if parsed.get("value") is None:
+        # a truthy non-dict "parsed" (e.g. an error string) is as corrupt
+        # as unparseable JSON — it must not crash the outage line
+        if not isinstance(parsed, dict) or parsed.get("value") is None:
             continue
         if best is None or int(m.group(1)) > best[0]:
             best = (int(m.group(1)), parsed, os.path.basename(path))

@@ -235,9 +235,12 @@ def eval_image_experiment(cfg, exp_dir: str, seed: int = 0):
         # FS view of the PNGs); the broadcast shares the scalar AND is the
         # barrier that keeps a straggler-killing launcher off the writer
         sifid = calculate_SIFID(real_dir, fake_dir)
+        # persist BEFORE the agree_float barrier: it is the last sync in
+        # this path, and a straggler-killing pod launcher may reap the
+        # primary right after the non-primaries return from it
+        _persist_eval_metrics(saver, cfg, "SIFID", sifid)
     sifid = multihost.agree_float(sifid)
     logging.info("SIFID: %s", sifid)
-    _persist_eval_metrics(saver, cfg, "SIFID", sifid)
     return sifid, saver
 
 

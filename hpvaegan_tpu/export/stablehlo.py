@@ -117,9 +117,18 @@ def save_exported(exported, prefix: str, write_mlir: bool = True) -> None:
             f.write(exported.mlir_module())
 
 
+def load_serialized(path: str):
+    """Deserialize a portable export once; reuse across run_serialized calls
+    (each deserialize+compile is minutes on a remote transport)."""
+    with open(path, "rb") as f:
+        return jax_export.deserialize(f.read())
+
+
+def run_serialized(exported, *args):
+    return exported.call(*[jnp.asarray(a) for a in args])
+
+
 def load_and_run_serialized(path: str, *args):
     """Python-side runner for a serialized export (sanity/parity checks for
     the native runner)."""
-    with open(path, "rb") as f:
-        exported = jax_export.deserialize(f.read())
-    return exported.call(*[jnp.asarray(a) for a in args])
+    return run_serialized(load_serialized(path), *args)

@@ -35,11 +35,18 @@ def main() -> int:
               "scripts/run_infer_tpu.sh first")
         return 2
 
-    spec = open(os.path.join(infer, "io_spec.txt")).read().splitlines()
-    z_dims = tuple(int(d) for d in spec[0].split()[1].split(","))
-    amps = np.fromfile(os.path.join(infer, "noise_amps", "noise_amps.bin"),
-                       np.float32)
-    seed = np.fromfile(os.path.join(infer, "seed", "seed.bin"), np.int32)[0]
+    try:
+        spec = open(os.path.join(infer, "io_spec.txt")).read().splitlines()
+        z_dims = tuple(int(d) for d in spec[0].split()[1].split(","))
+        amps = np.fromfile(
+            os.path.join(infer, "noise_amps", "noise_amps.bin"), np.float32)
+        seed = np.fromfile(os.path.join(infer, "seed", "seed.bin"),
+                           np.int32)[0]
+    except FileNotFoundError as e:
+        # exit 1 is reserved for MISMATCH; a half-cleaned infer/ dir is 2
+        print(f"missing preprocess artifact: {e.filename} — run "
+              "scripts/run_infer_tpu.sh first")
+        return 2
 
     # newest portable export, mirroring run_infer_tpu.sh's .mlir selection
     shlos = [f for f in os.listdir(infer) if f.endswith(".stablehlo")]
@@ -49,7 +56,11 @@ def main() -> int:
     shlo = max(shlos,
                key=lambda f: os.path.getmtime(os.path.join(infer, f)))
 
-    from hpvaegan_tpu.export.stablehlo import load_and_run_serialized
+    from hpvaegan_tpu.export.stablehlo import load_serialized, run_serialized
+
+    # deserialize ONCE outside the bin loop: each call re-compiles through
+    # the remote transport otherwise (finest-scale compile is minutes)
+    exported = load_serialized(os.path.join(infer, shlo))
 
     noise_dir = os.path.join(infer, "noise_init")
     bins = sorted(f for f in os.listdir(noise_dir) if f.endswith(".bin"))
@@ -66,9 +77,8 @@ def main() -> int:
             return 2
         noise = np.fromfile(os.path.join(noise_dir, b),
                             np.float32).reshape(z_dims)
-        ours = np.asarray(load_and_run_serialized(
-            os.path.join(infer, shlo), noise, amps, seed),
-            np.float32).ravel()
+        ours = np.asarray(run_serialized(exported, noise, amps, seed),
+                          np.float32).ravel()
         theirs = np.fromfile(out_path, np.float32)
         if theirs.size != ours.size:
             print(f"{b}: size mismatch runner={theirs.size} python={ours.size}")

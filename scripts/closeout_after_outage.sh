@@ -12,8 +12,8 @@
 # workload class benchdata/serving_latency.json records); pass any trained
 # experiment dir instead (e.g. the 3D soak at
 # /tmp/run_soak/balloons_pan/soak/experiment_0 to re-verify the 3D chain).
-set -e
-exp=${1:-/tmp/run_full/air_balloons/full/experiment_0}
+set -eo pipefail   # a failed bench.py must not be masked by the tee below
+exp=$(realpath "${1:-/tmp/run_full/air_balloons/full/experiment_0}")
 cd "$(dirname "$0")/.."
 
 echo "== probe transport =="
@@ -35,8 +35,19 @@ python bench.py | tee /tmp/bench_head.json
 echo "== native serving chain =="
 NUM_SAMPLES=${NUM_SAMPLES:-8} bash scripts/run_infer_tpu.sh "$exp"
 python scripts/check_runner_bitexact.py "$exp"
-python scripts/record_serving_latency.py "$exp" \
-    "256px full-depth 2D sampler ($(basename "$exp"))"
+# benchdata/serving_latency.json records the CANONICAL 2D sampler number
+# (BASELINE row 1; bench.py reports it as serving_warm_ms) — only re-record
+# it for a 2D experiment (4-dim z in io_spec), never clobber it from the 3D
+# chain, whose latency stays in the experiment's own time_Result report
+ndims=$(head -1 "$exp/infer/io_spec.txt" | awk '{n=split($2,a,","); print n}')
+if [ "$ndims" -eq 4 ]; then
+    python scripts/record_serving_latency.py "$exp" \
+        "full-depth 2D sampler ($(basename "$exp"))"
+else
+    echo "3D experiment (${ndims}-dim z): leaving the canonical 2D" \
+         "benchdata/serving_latency.json untouched; runner report at" \
+         "$exp/time_Result/test_perform_static.txt"
+fi
 
 echo "closeout complete — review /tmp/bench_head.json and" \
      "benchdata/serving_latency.json, then commit"

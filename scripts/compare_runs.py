@@ -29,7 +29,9 @@ import os
 import re
 import sys
 
-CLOSE = re.compile(r"scale (\d+) done in ([\d.]+)s \(([\d.]+) it/s\)")
+# the "(R it/s)" suffix is the main trainer's (trainer.py close line); the
+# baselines trainer logs only "scale K done in Ss" — rate group optional
+CLOSE = re.compile(r"scale (\d+) done in ([\d.]+)s(?: \(([\d.]+) it/s\))?")
 
 
 def load_amps(exp):
@@ -51,8 +53,8 @@ def load_rates(exp):
         for line in f:
             m = CLOSE.search(line)
             if m:
-                rates[int(m.group(1))] = (float(m.group(2)),
-                                          float(m.group(3)))
+                rate = float(m.group(3)) if m.group(3) else None
+                rates[int(m.group(1))] = (float(m.group(2)), rate)
     return rates
 
 
@@ -94,6 +96,7 @@ def main():
         return 2
 
     worst = 0.0
+    structural = None  # non-numeric reason the gate must fail
     print("noise_amps (training-math trajectory)")
     print("scale |          A |          B |    B vs A")
     n = max(len(amps_a), len(amps_b))
@@ -102,10 +105,16 @@ def main():
             print(f"{k:5d} | {'--' if k >= len(amps_a) else amps_a[k]:>10} "
                   f"| {'--' if k >= len(amps_b) else amps_b[k]:>10} |"
                   " (scale count differs)")
+            structural = (f"scale counts differ: A has {len(amps_a)}, "
+                          f"B has {len(amps_b)}")
             continue
         p = pct(amps_a[k], amps_b[k])
         if p is not None:
             worst = max(worst, abs(p))
+        elif amps_b[k] != 0:
+            # A amp exactly 0, B nonzero: not expressible as a percentage
+            # but certainly not "within tolerance"
+            structural = f"scale {k}: A amp is 0 but B is {amps_b[k]}"
         print(f"{k:5d} | {amps_a[k]:10.6f} | {amps_b[k]:10.6f} | {fmt_pct(p)}")
     print(f"max |amp deviation|: {worst:.2f}%"
           + ("" if args.amp_tol is None else f" (tolerance {args.amp_tol}%)"))
@@ -121,7 +130,12 @@ def main():
             sb, rb = rates_b[k]
             tot_a += sa
             tot_b += sb
-            print(f"{k:5d} | {ra:8.2f} | {rb:8.2f} | {rb / ra:8.2f}x")
+            # no it/s in the close line (baselines trainer): equal iteration
+            # counts per scale make the seconds ratio the speedup
+            fa = f"{ra:8.2f}" if ra is not None else f"{sa:7.1f}s"
+            fb = f"{rb:8.2f}" if rb is not None else f"{sb:7.1f}s"
+            speed = rb / ra if ra and rb else (sa / sb if sb else float("nan"))
+            print(f"{k:5d} | {fa} | {fb} | {speed:8.2f}x")
         print(f"wall over common scales: A {tot_a:.1f}s, B {tot_b:.1f}s "
               f"({tot_a / tot_b:.2f}x)" if tot_b else "")
     else:
@@ -140,9 +154,13 @@ def main():
                  else ("A only" if ev_a else "B only"))
               + " — run eval_image.py/eval_video.py to produce it")
 
-    if args.amp_tol is not None and worst > args.amp_tol:
-        print(f"\nAMP TOLERANCE EXCEEDED: {worst:.2f}% > {args.amp_tol}%")
-        return 1
+    if args.amp_tol is not None:
+        if structural is not None:
+            print(f"\nAMP GATE FAILED (structural): {structural}")
+            return 1
+        if worst > args.amp_tol:
+            print(f"\nAMP TOLERANCE EXCEEDED: {worst:.2f}% > {args.amp_tol}%")
+            return 1
     return 0
 
 

@@ -91,6 +91,17 @@ def test_infer_pipeline(tmp_path):
     assert out.returncode == 1, out.stdout + out.stderr[-2000:]
     assert "NOT bit-exact" in out.stdout
 
+    # a half-cleaned infer dir (result/ left, io_spec.txt gone) is "missing
+    # artifacts" (exit 2), never "mismatch" (exit 1 is the regression signal)
+    os.rename(os.path.join(infer, "io_spec.txt"),
+              os.path.join(infer, "io_spec.txt.bak"))
+    out = subprocess.run(check, capture_output=True, text=True, env=env,
+                         cwd=REPO)
+    assert out.returncode == 2, out.stdout + out.stderr[-2000:]
+    assert "missing preprocess artifact" in out.stdout
+    os.rename(os.path.join(infer, "io_spec.txt.bak"),
+              os.path.join(infer, "io_spec.txt"))
+
 
 def test_preprocess_multi_sample_bins(tmp_path):
     """--num-samples N writes N distinct noise bins and clears stale

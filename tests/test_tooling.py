@@ -96,6 +96,8 @@ def test_bench_last_known_picks_newest_real_measurement(tmp_path):
     rec(2, 47.0)
     rec(3, None)  # outage round: parsed value null -> skipped
     (tmp_path / "BENCH_r04.json").write_text("not json")  # corrupt -> skipped
+    (tmp_path / "BENCH_r05.json").write_text(
+        '{"parsed": "driver error text"}')  # truthy non-dict -> skipped
     parsed, source = bench._last_known_bench(str(tmp_path))
     assert source == "BENCH_r02.json" and parsed["value"] == 47.0
 
@@ -148,6 +150,45 @@ def test_compare_runs_deltas_gate_and_missing(tmp_path):
     out = subprocess.run([sys.executable, tool, a, str(tmp_path / "nope")],
                          capture_output=True, text=True)
     assert out.returncode == 2 and "missing intermediate.json" in out.stdout
+
+    # structural gate: B trained fewer scales (e.g. crashed mid-run) — every
+    # common scale matches, but the gate must still fail, not exit 0
+    short = make_exp("short", [1.0], [
+        "2026-01-01 00:00:00 scale 0 done in 10.0s (10.00 it/s)"])
+    out = subprocess.run([sys.executable, tool, a, short, "--amp-tol", "50"],
+                         capture_output=True, text=True)
+    assert out.returncode == 1, out.stdout
+    assert "AMP GATE FAILED (structural)" in out.stdout
+    # without a tolerance it is a report, not a gate: exit 0
+    out = subprocess.run([sys.executable, tool, a, short],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stdout
+
+
+def test_compare_runs_baselines_close_lines(tmp_path):
+    """The baselines trainer's close line has no '(R it/s)' suffix
+    (baselines_trainer.py:238); the rate table must still compare via the
+    per-scale seconds ratio instead of silently reporting nothing."""
+    import json
+
+    def make_exp(name, secs):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "intermediate.json").write_text(json.dumps(
+            {"noise_amps": [1.0], "scale_idx": 0}))
+        (d / "logbook.txt").write_text("".join(
+            f"2026-01-01 00:00:00 scale {k} done in {s}s\n"
+            for k, s in enumerate(secs)))
+        return str(d)
+
+    a = make_exp("ba", [10.0, 30.0])
+    b = make_exp("bb", [5.0, 30.0])
+    tool = os.path.join(REPO, "scripts", "compare_runs.py")
+    out = subprocess.run([sys.executable, tool, a, b],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stdout + out.stderr[-2000:]
+    assert "2.00x" in out.stdout            # 10s vs 5s
+    assert "no common per-scale close lines" not in out.stdout
 
 
 def test_categorize_uses_instruction_name_only():
