@@ -1,0 +1,375 @@
+"""Cross-framework NUMERIC parity: our generator/discriminator forwards vs
+independent PyTorch implementations of the reference architecture, with the
+weights shared through the real checkpoint converter (tools/convert.py).
+
+The reference is a MindSpore port of the original torch HP-VAE-GAN, and its
+layers mirror torch semantics one-to-one (src/modules/networks_2d.py:44-82:
+Conv+BN+LeakyReLU(0.2); src/tools/spectral_norm.py:44-52: one-step power
+iteration then W/sigma; src/utils/images.py:110-117: align_corners bilinear;
+networks_3d.py:434-451 + src/tools/trilinear.py: align_corners trilinear).
+Torch is available in this environment as an independent oracle, so these
+tests pin the whole numeric chain at once — conv padding/stride layout, BN
+train-mode batch statistics, SN power iteration + the converter's u/v
+permutation, align-corners resize, and the tanh residual refinement — which
+the per-op unit tests only cover in isolation.
+
+The torch modules below are written from the architecture spec (not copied
+from any repo) with the ORIGINAL hp-vae-gan state_dict naming the converter
+targets, so `torch_model.state_dict() -> p2j_* -> our apply` is exactly the
+user-facing .pth migration path, now verified numerically end-to-end.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+from torch.nn.utils import spectral_norm
+
+from hpvaegan_tpu.config import Config
+from hpvaegan_tpu.models import networks_2d, networks_3d
+from hpvaegan_tpu.tools.convert import p2j_HPVAEGAN, p2j_WDiscriminator
+from hpvaegan_tpu.utils.pyramid import scale_size_2d, scale_size_3d
+
+# f32 with different op orders (lax vs aten convs, separable vs fused lerp)
+TOL = dict(rtol=1e-4, atol=2e-5)
+
+
+def _cfg(**kw):
+    base = dict(nfc=8, latent_dim=8, num_layer=2, enc_blocks=1, img_size=32,
+                min_size=16, max_size=32, vae_levels=2, sampling_rates=[2, 1],
+                stop_scale_time=-1)
+    base.update(kw)
+    cfg = Config(**base).finalize()
+    cfg.ar = 1.0
+    cfg.org_fps = 24.0
+    cfg.fps_lcm = 2
+    return cfg
+
+
+def _mods(nd):
+    return (nn.Conv2d, nn.BatchNorm2d) if nd == 2 else (nn.Conv3d,
+                                                        nn.BatchNorm3d)
+
+
+class TConvBlock(nn.Module):
+    """Conv + BN + LeakyReLU(0.2) (reference ConvBlock2D/3D,
+    networks_2d.py:44-54, networks_3d.py:45-55)."""
+
+    def __init__(self, cin, cout, ker, padd, nd=2):
+        super().__init__()
+        Conv, BN = _mods(nd)
+        self.conv = Conv(cin, cout, ker, 1, padd)
+        self.norm = BN(cout)
+
+    def forward(self, x):
+        return F.leaky_relu(self.norm(self.conv(x)), 0.2)
+
+
+class TSNBlock(nn.Module):
+    """Spectral-norm conv + LeakyReLU(0.2) (reference ConvBlock2DSN,
+    networks_2d.py:56-70; SN math src/tools/spectral_norm.py:44-52)."""
+
+    def __init__(self, cin, cout, ker, padd, nd=2):
+        super().__init__()
+        Conv, _ = _mods(nd)
+        self.conv = spectral_norm(Conv(cin, cout, ker, 1, padd))
+
+    def forward(self, x):
+        return F.leaky_relu(self.conv(x), 0.2)
+
+
+class TStack(nn.Module):
+    """head + num_layer blocks + plain conv tail (the decoder and every
+    refinement stage, reference networks_2d.py:207-213, 224-235)."""
+
+    def __init__(self, cin, mid, cout, ker, padd, num_layer, nd=2):
+        super().__init__()
+        Conv, _ = _mods(nd)
+        self.head = TConvBlock(cin, mid, ker, padd, nd)
+        for i in range(num_layer):
+            setattr(self, f"block{i}", TConvBlock(mid, mid, ker, padd, nd))
+        self.num_layer = num_layer
+        self.tail = Conv(mid, cout, ker, 1, ker // 2)
+
+    def forward(self, x):
+        x = self.head(x)
+        for i in range(self.num_layer):
+            x = getattr(self, f"block{i}")(x)
+        return self.tail(x)
+
+
+class TEncode(nn.Module):
+    """SN feature stack + mu/logvar conv heads (reference Encode2DVAE,
+    networks_2d.py:85-107; FeatureExtractor :73-82)."""
+
+    def __init__(self, cin, nfc, latent, ker, enc_blocks, nd=2):
+        super().__init__()
+        Conv, _ = _mods(nd)
+        pad = ker // 2
+        feats = nn.Module()
+        chans = [cin] + [nfc] * enc_blocks + [nfc]
+        self.n_blocks = enc_blocks + 1
+        for i in range(self.n_blocks):
+            setattr(feats, f"conv_block_{i}",
+                    TSNBlock(chans[i], chans[i + 1], ker, pad, nd))
+        self.features = feats
+        mu = nn.Module()
+        mu.conv = Conv(nfc, latent, ker, 1, pad)
+        logvar = nn.Module()
+        logvar.conv = Conv(nfc, latent, ker, 1, pad)
+        self.mu, self.logvar = mu, logvar
+
+    def forward(self, x):
+        for i in range(self.n_blocks):
+            x = getattr(self.features, f"conv_block_{i}")(x)
+        return self.mu.conv(x), self.logvar.conv(x)
+
+
+class TGenerator(nn.Module):
+    """GeneratorHPVAEGAN (reference networks_2d.py:188-282 /
+    networks_3d.py:354-451) — deterministic random-mode forward (given z,
+    zero per-stage noise amps): decoder -> tanh -> per stage
+    [align-corners upscale to scale idx+1, tanh(stage(x_up) + x_up)]."""
+
+    def __init__(self, cfg, n_stages, nd=2):
+        super().__init__()
+        self.encode = TEncode(cfg.nc_im, cfg.nfc, cfg.latent_dim,
+                              cfg.ker_size, cfg.enc_blocks, nd)
+        self.decoder = TStack(cfg.latent_dim, cfg.nfc, cfg.nc_im,
+                              cfg.ker_size, cfg.padd_size, cfg.num_layer, nd)
+        self.body = nn.ModuleList(
+            TStack(cfg.nc_im, cfg.nfc, cfg.nc_im, cfg.ker_size,
+                   cfg.padd_size, cfg.num_layer, nd) for _ in range(n_stages))
+        self.nd = nd
+
+    def forward_random(self, z, stage_sizes):
+        mode = "bilinear" if self.nd == 2 else "trilinear"
+        x = torch.tanh(self.decoder(z))
+        vae_out = x
+        for stage, size in zip(self.body, stage_sizes):
+            x_up = F.interpolate(x, size=size, mode=mode, align_corners=True)
+            x = torch.tanh(stage(x_up) + x_up)
+        return x, vae_out
+
+
+class TDiscriminator(nn.Module):
+    """WDiscriminator2D/3D (reference networks_2d.py:162-185,
+    networks_3d.py:170-193): SN head + num_layer SN body blocks + plain conv
+    tail with hardcoded padding 1 (:178)."""
+
+    def __init__(self, cfg, nd=2):
+        super().__init__()
+        Conv, _ = _mods(nd)
+        pad = cfg.ker_size // 2
+        self.head = TSNBlock(cfg.nc_im, cfg.nfc, cfg.ker_size, pad, nd)
+        body = nn.Module()
+        for i in range(cfg.num_layer):
+            setattr(body, f"block{i}",
+                    TSNBlock(cfg.nfc, cfg.nfc, cfg.ker_size, pad, nd))
+        self.body = body
+        self.num_layer = cfg.num_layer
+        self.tail = Conv(cfg.nfc, 1, cfg.ker_size, 1, 1)
+
+    def forward(self, x):
+        x = self.head(x)
+        for i in range(self.num_layer):
+            x = getattr(self.body, f"block{i}")(x)
+        return self.tail(x)
+
+
+def _randomize(model, seed):
+    """Non-degenerate weights: default conv init + reference-style BN gamma
+    (Normal(1, 0.02)) and small random beta/bias so BN affine terms are
+    actually exercised."""
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, (nn.BatchNorm2d, nn.BatchNorm3d)):
+                m.weight.normal_(1.0, 0.02)
+                m.bias.normal_(0.0, 0.02)
+
+
+def _snapshot_sd(model):
+    """state_dict values are live references — torch's SN hook mutates u/v
+    in-place during forward, so clone BEFORE running the torch side (our
+    apply must start its power iteration from the same pre-forward u/v)."""
+    return {k: v.detach().clone() for k, v in model.state_dict().items()}
+
+
+def _nchw(x_jax_layout):
+    """channels-last (B, *spatial, C) numpy -> torch channels-first tensor."""
+    nd = x_jax_layout.ndim
+    perm = (0, nd - 1) + tuple(range(1, nd - 1))
+    return torch.from_numpy(np.ascontiguousarray(
+        np.transpose(x_jax_layout, perm)))
+
+
+def _to_last(t):
+    """torch channels-first tensor -> channels-last numpy."""
+    a = t.detach().numpy()
+    perm = (0,) + tuple(range(2, a.ndim)) + (1,)
+    return np.transpose(a, perm)
+
+
+@pytest.mark.parametrize("nd", [2, 3])
+def test_generator_forward_parity_vs_torch(nd):
+    cfg = _cfg()
+    n_stages = 2
+    tG = TGenerator(cfg, n_stages, nd=nd)
+    _randomize(tG, seed=10 + nd)
+    sd = _snapshot_sd(tG)
+    tG.train()  # reference cells never leave train mode (docs/PARITY.md)
+
+    rng = np.random.RandomState(nd)
+    if nd == 2:
+        h0, w0 = scale_size_2d(0, cfg.scale_factor, cfg.stop_scale,
+                               cfg.img_size, cfg.ar)
+        z = rng.randn(2, h0, w0, cfg.latent_dim).astype(np.float32)
+        sizes = [tuple(scale_size_2d(i + 1, cfg.scale_factor, cfg.stop_scale,
+                                     cfg.img_size, cfg.ar))
+                 for i in range(n_stages)]
+        g_apply = networks_2d.generator_hpvaegan_apply
+        enc_apply = networks_2d.encode2dvae_apply
+        real = rng.randn(2, h0, w0, cfg.nc_im).astype(np.float32)
+    else:
+        t0, h0, w0 = scale_size_3d(0, cfg.scale_factor, cfg.stop_scale,
+                                   cfg.img_size, cfg.stop_scale_time,
+                                   cfg.sampling_rates, cfg.org_fps,
+                                   cfg.fps_lcm, cfg.ar)
+        z = rng.randn(2, t0, h0, w0, cfg.latent_dim).astype(np.float32)
+        sizes = [tuple(scale_size_3d(i + 1, cfg.scale_factor, cfg.stop_scale,
+                                     cfg.img_size, cfg.stop_scale_time,
+                                     cfg.sampling_rates, cfg.org_fps,
+                                     cfg.fps_lcm, cfg.ar))
+                 for i in range(n_stages)]
+        g_apply = networks_3d.generator_hpvaegan_apply
+        enc_apply = networks_3d.encode3dvae_apply
+        real = rng.randn(2, t0, h0, w0, cfg.nc_im).astype(np.float32)
+
+    # ---- torch side (no per-stage noise => fully deterministic) ----
+    with torch.no_grad():
+        x_t, vae_t = tG.forward_random(_nchw(z), sizes)
+        mu_t, logvar_t = tG.encode(_nchw(real))
+
+    # ---- our side: same weights via the .pth migration converter ----
+    params, state = p2j_HPVAEGAN({"state_dict": sd}, ndim=nd)
+    amps = jnp.zeros((cfg.stop_scale + 2,))
+    (x_j, vae_j, _, _), _ = g_apply(cfg, params, state,
+                                    noise_init=jnp.asarray(z), amps=amps,
+                                    key=jax.random.PRNGKey(0),
+                                    is_random=True, train=True)
+    np.testing.assert_allclose(np.asarray(vae_j), _to_last(vae_t), **TOL)
+    np.testing.assert_allclose(np.asarray(x_j), _to_last(x_t), **TOL)
+
+    # encoder heads: exercises the SN power iteration + converter u/v perm
+    (mu_j, logvar_j), _ = enc_apply(cfg, params["encode"], state["encode"],
+                                    jnp.asarray(real))
+    np.testing.assert_allclose(np.asarray(mu_j), _to_last(mu_t), **TOL)
+    np.testing.assert_allclose(np.asarray(logvar_j), _to_last(logvar_t),
+                               **TOL)
+
+
+@pytest.mark.parametrize("nd", [2, 3])
+def test_discriminator_forward_parity_vs_torch(nd):
+    cfg = _cfg()
+    tD = TDiscriminator(cfg, nd=nd)
+    _randomize(tD, seed=20 + nd)
+    sd = _snapshot_sd(tD)
+    tD.train()
+
+    rng = np.random.RandomState(4 + nd)
+    shape = (2, 16, 16, cfg.nc_im) if nd == 2 else (2, 4, 12, 12, cfg.nc_im)
+    x = rng.randn(*shape).astype(np.float32)
+    with torch.no_grad():
+        y_t = tD(_nchw(x))
+
+    params, state = p2j_WDiscriminator({"state_dict": sd}, ndim=nd)
+    d_apply = (networks_2d.wdiscriminator2d_apply if nd == 2
+               else networks_3d.wdiscriminator3d_apply)
+    y_j, _ = d_apply(cfg, params, state, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_j), _to_last(y_t), **TOL)
+
+
+def test_gradient_penalty_parity_vs_torch_autograd():
+    """WGAN-GP parity at VALUE and WEIGHT-GRADIENT level: the grad-inside-grad
+    (jax.grad of D w.r.t. its input, inside the outer loss grad — reference
+    losses.py:47-52 via ops.GradOperation) against torch.autograd with
+    create_graph=True on the same weights. Pins the double-backward through
+    the spectral-norm normalization (u/v constants) and the per-channel
+    gradient-norm reduction."""
+    from hpvaegan_tpu.losses import gradient_penalty
+
+    cfg = _cfg()
+    tD = TDiscriminator(cfg, nd=2)
+    _randomize(tD, seed=41)
+    sd = _snapshot_sd(tD)
+    tD.train()
+
+    rng = np.random.RandomState(11)
+    real = rng.randn(2, 16, 16, cfg.nc_im).astype(np.float32)
+    fake = rng.randn(2, 16, 16, cfg.nc_im).astype(np.float32)
+    alpha, lam = 0.37, 0.1
+
+    # ---- torch: one D application on the interpolate (fresh u/v from sd) --
+    interp_t = (alpha * _nchw(real) + (1 - alpha) * _nchw(fake)
+                ).requires_grad_(True)
+    d_out = tD(interp_t)
+    g_in, = torch.autograd.grad(d_out.sum(), interp_t, create_graph=True)
+    # per-CHANNEL gradient norm (reference LpNorm(p=2, axis=1)); channel is
+    # dim 1 in torch layout, the last axis in ours
+    norms_t = torch.sqrt((g_in ** 2).sum(dim=1) + 1e-12)
+    gp_t = ((norms_t - 1) ** 2).mean() * lam
+    gp_t.backward()
+    grad_w_head_t = tD.head.conv.weight_orig.grad.detach().numpy()
+    grad_w_tail_t = tD.tail.weight.grad.detach().numpy()
+
+    # ---- ours: same weights via the converter, jax.grad over params -------
+    params, state = p2j_WDiscriminator({"state_dict": sd}, ndim=2)
+
+    def gp_of(p):
+        return gradient_penalty(
+            lambda x: networks_2d.wdiscriminator2d_apply(cfg, p, state, x)[0],
+            jnp.asarray(real), jnp.asarray(fake), alpha, lam)
+
+    gp_j, grads_j = jax.value_and_grad(gp_of)(params)
+    np.testing.assert_allclose(float(gp_j), float(gp_t.detach()), rtol=1e-4)
+
+    # weight grads transform like the weights: HWIO -> OIHW to compare
+    def to_oihw(w):
+        return np.transpose(np.asarray(w), (3, 2, 0, 1))
+
+    np.testing.assert_allclose(to_oihw(grads_j["head"]["snconv"]["w"]),
+                               grad_w_head_t, rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(to_oihw(grads_j["tail"]["w"]),
+                               grad_w_tail_t, rtol=1e-3, atol=1e-6)
+
+
+def test_sn_second_forward_matches_torch_uv_trajectory():
+    """The carried (u, v) state must evolve like torch's in-place hook: after
+    one forward, a SECOND forward (fresh power iteration from the updated
+    vectors) must still agree — pins that sn_conv_apply returns the
+    post-iteration u/v, not the inputs."""
+    cfg = _cfg()
+    tD = TDiscriminator(cfg, nd=2)
+    _randomize(tD, seed=33)
+    sd = _snapshot_sd(tD)
+    tD.train()
+
+    rng = np.random.RandomState(7)
+    x1 = rng.randn(2, 16, 16, cfg.nc_im).astype(np.float32)
+    x2 = rng.randn(2, 16, 16, cfg.nc_im).astype(np.float32)
+    with torch.no_grad():
+        tD(_nchw(x1))            # mutates u/v in place
+        y2_t = tD(_nchw(x2))
+
+    params, state = p2j_WDiscriminator({"state_dict": sd}, ndim=2)
+    _, state1 = networks_2d.wdiscriminator2d_apply(cfg, params, state,
+                                                   jnp.asarray(x1))
+    y2_j, _ = networks_2d.wdiscriminator2d_apply(cfg, params, state1,
+                                                 jnp.asarray(x2))
+    np.testing.assert_allclose(np.asarray(y2_j), _to_last(y2_t), **TOL)
