@@ -295,6 +295,170 @@ def test_discriminator_forward_parity_vs_torch(nd):
     np.testing.assert_allclose(np.asarray(y_j), _to_last(y_t), **TOL)
 
 
+class TEncodeNB(nn.Module):
+    """Encode2DVAE_nb / Encode3DVAE_nb (reference networks_2d.py:110-137,
+    networks_3d.py:115-144): SN feature stack, sigmoid Bernoulli gate
+    multiplied into the features, then GLOBAL-mean-pooled mu/logvar heads."""
+
+    def __init__(self, cin, nfc, latent, ker, enc_blocks, nd=2):
+        super().__init__()
+        Conv, _ = _mods(nd)
+        pad = ker // 2
+        base = TEncode(cin, nfc, latent, ker, enc_blocks, nd)
+        self.features = base.features
+        self.n_blocks = base.n_blocks
+        self.mu, self.logvar = base.mu, base.logvar
+        bern = nn.Module()
+        bern.conv = Conv(nfc, 1, ker, 1, pad)
+        self.bern = bern
+
+    def forward(self, x):
+        for i in range(self.n_blocks):
+            x = getattr(self.features, f"conv_block_{i}")(x)
+        gate = torch.sigmoid(self.bern.conv(x))
+        x = gate * x
+        pool = tuple(range(2, x.ndim))
+        mu = self.mu.conv(x).mean(dim=pool, keepdim=True)
+        logvar = self.logvar.conv(x).mean(dim=pool, keepdim=True)
+        return mu, logvar, gate
+
+
+@pytest.mark.parametrize("nd", [2, 3])
+def test_nb_encoder_parity_vs_torch(nd):
+    cfg = _cfg()
+    tE = TEncodeNB(cfg.nc_im, cfg.nfc, cfg.latent_dim, cfg.ker_size,
+                   cfg.enc_blocks, nd=nd)
+    _randomize(tE, seed=50 + nd)
+    sd = _snapshot_sd(tE)
+    tE.train()
+
+    rng = np.random.RandomState(nd + 8)
+    shape = (2, 14, 14, cfg.nc_im) if nd == 2 else (2, 4, 10, 10, cfg.nc_im)
+    x = rng.randn(*shape).astype(np.float32)
+    with torch.no_grad():
+        mu_t, logvar_t, gate_t = tE(_nchw(x))
+
+    # the nb encoder shares the HPVAEGAN converter (same key families plus
+    # the bern head); a standalone encoder sits under the generator's
+    # `encode.` prefix in a real checkpoint
+    params, state = p2j_HPVAEGAN(
+        {"state_dict": {f"encode.{k}": v for k, v in sd.items()}}, ndim=nd)
+    enc_apply = (networks_2d.encode2dvae_nb_apply if nd == 2
+                 else networks_3d.encode3dvae_nb_apply)
+    (mu_j, logvar_j, gate_j), _ = enc_apply(cfg, params["encode"],
+                                            state["encode"], jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(mu_j), _to_last(mu_t), **TOL)
+    np.testing.assert_allclose(np.asarray(logvar_j), _to_last(logvar_t),
+                               **TOL)
+    np.testing.assert_allclose(np.asarray(gate_j), _to_last(gate_t), **TOL)
+
+
+def test_vae_nb_generator_forward_parity_vs_torch():
+    """GeneratorVAE_nb random-mode forward (reference networks_2d.py:285-360):
+    decoder consumes z_norm * z_bern; refinement chain as HPVAEGAN."""
+    cfg = _cfg()
+    n_stages = 2
+    nd = 2
+
+    class TGenNB(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encode = TEncodeNB(cfg.nc_im, cfg.nfc, cfg.latent_dim,
+                                    cfg.ker_size, cfg.enc_blocks, nd)
+            self.decoder = TStack(cfg.latent_dim, cfg.nfc, cfg.nc_im,
+                                  cfg.ker_size, cfg.padd_size, cfg.num_layer,
+                                  nd)
+            self.body = nn.ModuleList(
+                TStack(cfg.nc_im, cfg.nfc, cfg.nc_im, cfg.ker_size,
+                       cfg.padd_size, cfg.num_layer, nd)
+                for _ in range(n_stages))
+
+        def forward_random(self, z_norm, z_bern, sizes):
+            x = torch.tanh(self.decoder(z_norm * z_bern))
+            for stage, size in zip(self.body, sizes):
+                x_up = F.interpolate(x, size=size, mode="bilinear",
+                                     align_corners=True)
+                x = torch.tanh(stage(x_up) + x_up)
+            return x
+
+    tG = TGenNB()
+    _randomize(tG, seed=61)
+    sd = _snapshot_sd(tG)
+    tG.train()
+
+    rng = np.random.RandomState(19)
+    h0, w0 = scale_size_2d(0, cfg.scale_factor, cfg.stop_scale, cfg.img_size,
+                           cfg.ar)
+    z = rng.randn(2, h0, w0, cfg.latent_dim).astype(np.float32)
+    zb = (rng.rand(2, h0, w0, 1) < 0.5).astype(np.float32)
+    sizes = [tuple(scale_size_2d(i + 1, cfg.scale_factor, cfg.stop_scale,
+                                 cfg.img_size, cfg.ar))
+             for i in range(n_stages)]
+    with torch.no_grad():
+        x_t = tG.forward_random(_nchw(z), _nchw(zb), sizes)
+
+    params, state = p2j_HPVAEGAN({"state_dict": sd}, ndim=nd)
+    amps = jnp.zeros((cfg.stop_scale + 2,))
+    (x_j, _, _, _, _), _ = networks_2d.generator_vae_nb_apply(
+        cfg, params, state, noise_init=jnp.asarray(z),
+        noise_init_bern=jnp.asarray(zb), amps=amps,
+        key=jax.random.PRNGKey(0), is_random=True, train=True)
+    np.testing.assert_allclose(np.asarray(x_j), _to_last(x_t), **TOL)
+
+
+@pytest.mark.parametrize("flat", [False, True])
+def test_clipped_adam_trajectory_parity_vs_torch(flat):
+    """ClippedAdam (per-TENSOR L2 clip before Adam, per-group LRs — reference
+    optimizers.py:33-43 + train_image.py:51-83) against torch's Adam +
+    per-tensor clip_grad_norm_ over 5 steps with mixed clipped/unclipped
+    gradients. Covers both the optax chain and the fused single-buffer
+    implementation (--flat-opt)."""
+    from hpvaegan_tpu.optim import clipped_adam
+
+    clip, b1, b2 = 0.5, 0.5, 0.999
+    rng = np.random.RandomState(17)
+    w0 = rng.randn(4, 3, 3, 2).astype(np.float32) * 0.1
+    b0 = rng.randn(4).astype(np.float32) * 0.1
+
+    # torch: two param groups with different lrs (the per-block LR ladder)
+    wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    bt = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    opt_t = torch.optim.Adam([{"params": [wt], "lr": 5e-3},
+                              {"params": [bt], "lr": 5e-4}], betas=(b1, b2))
+
+    params = {"w": jnp.asarray(w0), "b": jnp.asarray(b0)}
+    lr_tree = {"w": 5e-3, "b": 5e-4}
+    opt_j = clipped_adam(lr_tree, beta1=b1, beta2=b2, grad_clip=clip,
+                         flat=flat)
+    opt_state = opt_j.init(params)
+
+    for step in range(5):
+        gw = rng.randn(*w0.shape).astype(np.float32)  # norm >> clip: clips
+        gb = rng.randn(*b0.shape).astype(np.float32) * 0.01  # under clip
+        opt_t.zero_grad()
+        wt.grad = torch.from_numpy(gw.copy())
+        bt.grad = torch.from_numpy(gb.copy())
+        # per-TENSOR clip, like nn.ClipByNorm applied leaf-wise
+        torch.nn.utils.clip_grad_norm_([wt], clip)
+        torch.nn.utils.clip_grad_norm_([bt], clip)
+        opt_t.step()
+
+        grads = {"w": jnp.asarray(gw), "b": jnp.asarray(gb)}
+        updates, opt_state = opt_j.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+
+        # torch's clip scales by max_norm/(norm + 1e-6) vs our exact
+        # max_norm/norm; the ~1e-7-relative grad difference amplifies on
+        # elements whose Adam update m_hat/sqrt(v_hat) is near zero, hence
+        # the absolute floor (updates are ~5e-3/step)
+        np.testing.assert_allclose(np.asarray(params["w"]),
+                                   wt.detach().numpy(), rtol=1e-5,
+                                   atol=1e-6, err_msg=f"step {step}")
+        np.testing.assert_allclose(np.asarray(params["b"]),
+                                   bt.detach().numpy(), rtol=1e-5,
+                                   atol=1e-6, err_msg=f"step {step}")
+
+
 def test_gradient_penalty_parity_vs_torch_autograd():
     """WGAN-GP parity at VALUE and WEIGHT-GRADIENT level: the grad-inside-grad
     (jax.grad of D w.r.t. its input, inside the outer loss grad — reference
