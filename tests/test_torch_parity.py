@@ -513,6 +513,118 @@ def test_gradient_penalty_parity_vs_torch_autograd():
                                grad_w_tail_t, rtol=1e-3, atol=1e-6)
 
 
+def test_c3d_feature_blocks_parity_vs_torch():
+    """The SVFID C3D backbone (metrics/c3d.py — the reference's is
+    non-functional, src/sinFID/c3d.py:59-60,132): conv3d/relu/maxpool block
+    outputs vs a torch twin fed the same weights. Pins the NDHWC conv
+    padding, the (1,2,2)/(2,2,2) VALID pooling ladder, and the block split
+    the per-position Frechet features are read from."""
+    from hpvaegan_tpu.metrics.c3d import C3D, _BLOCKS, _POOLS
+
+    net = C3D(output_blocks=[0, 1, 2, 3], seed=3)  # seeded random weights
+
+    convs = {}
+    for block in _BLOCKS:
+        for name, cin, cout in block:
+            c = nn.Conv3d(cin, cout, 3, 1, 1)
+            with torch.no_grad():
+                # DHWIO -> OIDHW
+                c.weight.copy_(torch.from_numpy(np.transpose(
+                    net.params[f"{name}.w"], (4, 3, 0, 1, 2)).copy()))
+                c.bias.copy_(torch.from_numpy(net.params[f"{name}.b"].copy()))
+            convs[name] = c
+
+    rng = np.random.RandomState(5)
+    x01 = rng.rand(1, 8, 32, 32, 3).astype(np.float32)  # (B,T,H,W,C) in [0,1]
+    outs_j = net(x01)
+
+    with torch.no_grad():
+        x = _nchw(x01) * 2.0 - 1.0  # random-init input scaling (c3d.py)
+        for bi, block in enumerate(_BLOCKS):
+            for name, _, _ in block:
+                x = F.relu(convs[name](x))
+            x = F.max_pool3d(x, _POOLS[bi], _POOLS[bi])
+            np.testing.assert_allclose(np.asarray(outs_j[bi]), _to_last(x),
+                                       **TOL)
+
+
+def test_inception_feature_blocks_parity_vs_torch():
+    """The SIFID InceptionV3 backbone (metrics/inception.py, all 4 blocks)
+    vs a torch-functional twin fed the same weights. The architecture spec
+    (which convs/channels) is pinned by test_metric_weights; this pins the
+    NUMERIC semantics torch would give those weights: conv stride/pad
+    arithmetic, inference-mode BN with eps 1e-3, the pytorch-fid branch
+    avg-pools with count_include_pad=False, max-pools, branch concat order,
+    and the final adaptive average pool. Absolute-sinFID parity remains
+    blocked only on pretrained weight VALUES (BASELINE.md), not math."""
+    from hpvaegan_tpu.metrics.inception import (InceptionV3, _STEM0, _STEM1,
+                                                _MIXED2, _MIXED3)
+
+    net = InceptionV3(output_blocks=[0, 1, 2, 3], seed=7)
+    P = net.params
+
+    def t32(a):
+        # the random init is f64 (NumPy promotion); jnp.asarray casts it to
+        # f32 on our side, so feed torch the same f32 values
+        return torch.from_numpy(np.ascontiguousarray(a, np.float32))
+
+    def conv_bn_t(x, name, stride, pad):
+        w = t32(np.transpose(P[f"{name}.w"], (3, 2, 0, 1)))
+        y = F.conv2d(x, w, stride=stride, padding=pad)
+        y = F.batch_norm(y, t32(P[f"{name}.bn_mean"]),
+                         t32(P[f"{name}.bn_var"]),
+                         t32(P[f"{name}.bn_gamma"]),
+                         t32(P[f"{name}.bn_beta"]),
+                         training=False, eps=1e-3)
+        return F.relu(y)
+
+    def pool_t(x, kind, k, s, p):
+        if kind == "maxpool":
+            return F.max_pool2d(x, k, stride=s, padding=p)
+        return F.avg_pool2d(x, k, stride=s, padding=p,
+                            count_include_pad=False)
+
+    def run_branch_t(x, branch):
+        for item in branch:
+            if item[0] == "split":
+                x = torch.cat([conv_bn_t(x, sp[0], sp[3], sp[4])
+                               for sp in item[1]], dim=1)
+            elif item[0] in ("avgpool", "maxpool"):
+                x = pool_t(x, item[0], item[2], item[3], item[4])
+            else:
+                name, _, _, s, p = item
+                x = conv_bn_t(x, name, s, p)
+        return x
+
+    def run_specs_t(x, specs):
+        for spec in specs:
+            if isinstance(spec, dict):
+                x = torch.cat([run_branch_t(x, b) for b in spec["branches"]],
+                              dim=1)
+            else:
+                name, _, _, s, p = spec
+                x = conv_bn_t(x, name, s, p)
+        return x
+
+    rng = np.random.RandomState(9)
+    x01 = rng.rand(1, 96, 96, 3).astype(np.float32)
+    outs_j = net(x01)
+
+    with torch.no_grad():
+        x = _nchw(x01) * 2.0 - 1.0
+        x = run_specs_t(x, _STEM0)
+        x = F.max_pool2d(x, 3, stride=2)
+        np.testing.assert_allclose(np.asarray(outs_j[0]), _to_last(x), **TOL)
+        x = run_specs_t(x, _STEM1)
+        x = F.max_pool2d(x, 3, stride=2)
+        np.testing.assert_allclose(np.asarray(outs_j[1]), _to_last(x), **TOL)
+        x = run_specs_t(x, _MIXED2)
+        np.testing.assert_allclose(np.asarray(outs_j[2]), _to_last(x), **TOL)
+        x = run_specs_t(x, _MIXED3)
+        x = F.adaptive_avg_pool2d(x, 1)
+        np.testing.assert_allclose(np.asarray(outs_j[3]), _to_last(x), **TOL)
+
+
 def test_sn_second_forward_matches_torch_uv_trajectory():
     """The carried (u, v) state must evolve like torch's in-place hook: after
     one forward, a SECOND forward (fresh power iteration from the updated
