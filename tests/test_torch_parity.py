@@ -513,6 +513,199 @@ def test_gradient_penalty_parity_vs_torch_autograd():
                                grad_w_tail_t, rtol=1e-3, atol=1e-6)
 
 
+def _jblock_from_torch(tb):
+    """ConvBlock params/state pytree from a TConvBlock."""
+    from hpvaegan_tpu.tools.convert import _conv_w, _np
+    return ({"conv": {"w": _conv_w(tb.conv.weight, 3),
+                      "b": _np(tb.conv.bias)},
+             "bn": {"gamma": _np(tb.norm.weight), "beta": _np(tb.norm.bias)}},
+            {"bn": {"mean": _np(tb.norm.running_mean),
+                    "var": _np(tb.norm.running_var)}})
+
+
+class TBaselineStage(nn.Module):
+    """Padding-0 ConvBlock3D stack + optional plain conv tail (the CSG/SG
+    stage unit, reference networks_3d.py:252-263, 317-327)."""
+
+    def __init__(self, cin, nfc, ker, n_blocks, cout_tail=None,
+                 tail_bias=True):
+        super().__init__()
+        chans = [cin] + [nfc] * n_blocks
+        self.blocks = nn.ModuleList(
+            TConvBlock(chans[i], chans[i + 1], ker, 0, nd=3)
+            for i in range(n_blocks))
+        self.tail = (nn.Conv3d(nfc, cout_tail, ker, 1, 0, bias=tail_bias)
+                     if cout_tail is not None else None)
+
+    def forward(self, x):
+        for b in self.blocks:
+            x = b(x)
+        return self.tail(x) if self.tail is not None else x
+
+    def to_pytree(self):
+        from hpvaegan_tpu.tools.convert import _conv_w, _np
+        bp, bs = zip(*(_jblock_from_torch(b) for b in self.blocks))
+        params = {"blocks": list(bp)}
+        if self.tail is not None:
+            params["tail"] = {"w": _conv_w(self.tail.weight, 3)}
+            if self.tail.bias is not None:
+                params["tail"]["b"] = _np(self.tail.bias)
+        return params, {"blocks": list(bs)}
+
+
+def _pad3d_t(x, p):
+    return F.pad(x, (p, p, p, p, p, p))
+
+
+def _stage_sizes_3d(cfg, n, start=1):
+    return [tuple(scale_size_3d(i, cfg.scale_factor, cfg.stop_scale,
+                                cfg.img_size, cfg.stop_scale_time,
+                                cfg.sampling_rates, cfg.org_fps, cfg.fps_lcm,
+                                cfg.ar)) for i in range(start, start + n)]
+
+
+def test_generator_csg_parity_vs_torch():
+    """GeneratorCSG reconstruction forward (reference networks_3d.py:229-291,
+    with the shape-consistent pad fix documented in the module): shared
+    head/tail, growing body of padding-0 stacks fed via explicit outer
+    zero-pads, residual x_prev + x_up carry, trilinear upscales."""
+    from hpvaegan_tpu.models.networks_3d import generator_csg_apply
+    from hpvaegan_tpu.tools.convert import _conv_w, _np
+
+    cfg = _cfg()
+    torch.manual_seed(71)
+    pad = cfg.num_layer + 1
+    head = TConvBlock(cfg.nc_im, cfg.nfc, cfg.ker_size, 0, nd=3)
+    stages = nn.ModuleList(
+        TBaselineStage(cfg.nfc, cfg.nfc, cfg.ker_size, cfg.num_layer + 1)
+        for _ in range(2))
+    tail = nn.Conv3d(cfg.nfc, cfg.nc_im, cfg.ker_size, 1, 0)
+    _randomize(nn.ModuleList([head, stages, tail]), seed=71)
+
+    head_p, head_s = _jblock_from_torch(head)
+    body = [s.to_pytree() for s in stages]
+    params = {"head": head_p, "body": [b[0] for b in body],
+              "tail": {"w": _conv_w(tail.weight, 3), "b": _np(tail.bias)}}
+    state = {"head": head_s, "body": [b[1] for b in body]}
+
+    rng = np.random.RandomState(23)
+    t0, h0, w0 = scale_size_3d(0, cfg.scale_factor, cfg.stop_scale,
+                               cfg.img_size, cfg.stop_scale_time,
+                               cfg.sampling_rates, cfg.org_fps, cfg.fps_lcm,
+                               cfg.ar)
+    z = rng.randn(1, t0, h0, w0, cfg.nc_im).astype(np.float32)
+    sizes = _stage_sizes_3d(cfg, len(stages) - 1)
+
+    with torch.no_grad():
+        for m in (head, *stages):
+            m.train()
+        x = head(_pad3d_t(_nchw(z), 1))
+        x = stages[0](_pad3d_t(x, pad))
+        x_prev_out = x
+        for stage, size in zip(list(stages)[1:], sizes):
+            x_up = F.interpolate(x_prev_out, size=size, mode="trilinear",
+                                 align_corners=True)
+            x_prev_out = stage(_pad3d_t(x_up, pad)) + x_up
+        out_t = torch.tanh(F.conv3d(_pad3d_t(x_prev_out, 1), tail.weight,
+                                    tail.bias))
+
+    (out_j,), _ = generator_csg_apply(cfg, params, state,
+                                      noise_init=jnp.asarray(z),
+                                      amps=jnp.zeros((cfg.stop_scale + 2,)),
+                                      key=jax.random.PRNGKey(0),
+                                      is_random=False, train=True)
+    np.testing.assert_allclose(np.asarray(out_j), _to_last(out_t), **TOL)
+
+
+def test_generator_sg_parity_vs_torch():
+    """GeneratorSG reconstruction forward (reference networks_3d.py:294-351
+    made functional: unset self.opt fixed, residual carry restored, bias-free
+    stage tails per the MindSpore has_bias default)."""
+    from hpvaegan_tpu.models.networks_3d import generator_sg_apply
+
+    cfg = _cfg()
+    torch.manual_seed(72)
+    pad = cfg.num_layer + 2
+    stages = nn.ModuleList(
+        TBaselineStage(cfg.nc_im, cfg.nfc, cfg.ker_size, cfg.num_layer + 1,
+                       cout_tail=cfg.nc_im, tail_bias=False)
+        for _ in range(2))
+    _randomize(stages, seed=72)
+    body = [s.to_pytree() for s in stages]
+    params = {"body": [b[0] for b in body]}
+    state = {"body": [b[1] for b in body]}
+
+    rng = np.random.RandomState(29)
+    t0, h0, w0 = scale_size_3d(0, cfg.scale_factor, cfg.stop_scale,
+                               cfg.img_size, cfg.stop_scale_time,
+                               cfg.sampling_rates, cfg.org_fps, cfg.fps_lcm,
+                               cfg.ar)
+    z = rng.randn(1, t0, h0, w0, cfg.nc_im).astype(np.float32)
+    sizes = _stage_sizes_3d(cfg, len(stages) - 1)
+
+    with torch.no_grad():
+        stages.train()
+        x_prev_out = stages[0](_pad3d_t(_nchw(z), pad))
+        for stage, size in zip(list(stages)[1:], sizes):
+            x_prev_out = torch.tanh(x_prev_out)
+            x_up = F.interpolate(x_prev_out, size=size, mode="trilinear",
+                                 align_corners=True)
+            x_prev_out = stage(_pad3d_t(x_up, pad)) + x_up
+        out_t = torch.tanh(x_prev_out)
+
+    (out_j,), _ = generator_sg_apply(cfg, params, state,
+                                     noise_init=jnp.asarray(z),
+                                     amps=jnp.zeros((cfg.stop_scale + 2,)),
+                                     key=jax.random.PRNGKey(0),
+                                     is_random=False, train=True)
+    # SG's un-normalized residual carry (no BN between stages' outputs)
+    # accumulates slightly more f32 noise than the other nets
+    np.testing.assert_allclose(np.asarray(out_j), _to_last(out_t),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_wdiscriminator_baselines_parity_vs_torch():
+    """WDiscriminatorBaselines (reference networks_3d.py:196-226): explicit
+    outer zero-pad, plain-conv head (no BN), SN body, conv tail."""
+    from hpvaegan_tpu.models.networks_3d import wdiscriminator_baselines_apply
+    from hpvaegan_tpu.tools.convert import _conv_w, _np, _sn_conv
+
+    cfg = _cfg()
+    torch.manual_seed(73)
+    head = nn.Conv3d(cfg.nc_im, cfg.nfc, cfg.ker_size, 1, cfg.padd_size)
+    body = nn.ModuleList(
+        TSNBlock(cfg.nfc, cfg.nfc, cfg.ker_size, cfg.ker_size // 2, nd=3)
+        for _ in range(cfg.num_layer))
+    tail = nn.Conv3d(cfg.nfc, 1, cfg.ker_size, 1, cfg.padd_size)
+
+    params = {"head": {"conv": {"w": _conv_w(head.weight, 3),
+                                "b": _np(head.bias)}},
+              "body": [], "tail": {"w": _conv_w(tail.weight, 3),
+                                   "b": _np(tail.bias)}}
+    state = {"head": {}, "body": []}
+    for b in body:
+        entries = {k.split(".")[-1]: v.detach().clone()
+                   for k, v in b.conv.state_dict().items()}
+        bp, bs = _sn_conv(entries, 3)
+        params["body"].append(bp)
+        state["body"].append(bs)
+
+    rng = np.random.RandomState(31)
+    x = rng.randn(1, 4, 10, 10, cfg.nc_im).astype(np.float32)
+    with torch.no_grad():
+        body.train()
+        y = _pad3d_t(_nchw(x), cfg.num_layer + 2)
+        y = F.leaky_relu(F.conv3d(y, head.weight, head.bias,
+                                  padding=cfg.padd_size), 0.2)
+        for b in body:
+            y = b(y)
+        y_t = F.conv3d(y, tail.weight, tail.bias, padding=cfg.padd_size)
+
+    y_j, _ = wdiscriminator_baselines_apply(cfg, params, state,
+                                            jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_j), _to_last(y_t), **TOL)
+
+
 def test_c3d_feature_blocks_parity_vs_torch():
     """The SVFID C3D backbone (metrics/c3d.py — the reference's is
     non-functional, src/sinFID/c3d.py:59-60,132): conv3d/relu/maxpool block
