@@ -147,11 +147,14 @@ class TGenerator(nn.Module):
                    cfg.padd_size, cfg.num_layer, nd) for _ in range(n_stages))
         self.nd = nd
 
-    def forward_random(self, z, stage_sizes):
+    def forward_random(self, z, stage_sizes, vae_levels=None):
         mode = "bilinear" if self.nd == 2 else "trilinear"
         x = torch.tanh(self.decoder(z))
         vae_out = x
-        for stage, size in zip(self.body, stage_sizes):
+        for idx, (stage, size) in enumerate(zip(self.body, stage_sizes)):
+            if vae_levels is not None and vae_levels == idx + 1:
+                x = x.detach()  # the VAE-boundary stop_gradient
+                # (reference networks_2d.py:269-270)
             x_up = F.interpolate(x, size=size, mode=mode, align_corners=True)
             x = torch.tanh(stage(x_up) + x_up)
         return x, vae_out
@@ -351,6 +354,84 @@ def test_nb_encoder_parity_vs_torch(nd):
     np.testing.assert_allclose(np.asarray(logvar_j), _to_last(logvar_t),
                                **TOL)
     np.testing.assert_allclose(np.asarray(gate_j), _to_last(gate_t), **TOL)
+
+
+@pytest.mark.parametrize("vae_levels", [3, 2])
+def test_generator_weight_gradients_parity_vs_torch(vae_levels):
+    """Gradient-level parity of the generator backward: d MSE(G(z), target)
+    / d params vs torch autograd. The forward tests can't catch a wrong VJP;
+    this pins the train-mode BatchNorm backward (gradients THROUGH the batch
+    statistics), the align-corners-upscale VJP (gather+lerp transpose vs
+    torch's interpolate backward), and the tanh-residual chain rule.
+    vae_levels=3 keeps the VAE-boundary stop_gradient OUT of the 2-stage
+    body (full flow into the decoder); vae_levels=2 puts it before stage 2
+    and additionally pins the boundary LOCATION (decoder/stage-1 grads zero
+    in both frameworks, reference networks_2d.py:269-270)."""
+    cfg = _cfg(vae_levels=vae_levels)
+    n_stages = 2
+    tG = TGenerator(cfg, n_stages, nd=2)
+    _randomize(tG, seed=45)
+    sd = _snapshot_sd(tG)
+    tG.train()
+
+    rng = np.random.RandomState(13)
+    h0, w0 = scale_size_2d(0, cfg.scale_factor, cfg.stop_scale, cfg.img_size,
+                           cfg.ar)
+    z = rng.randn(2, h0, w0, cfg.latent_dim).astype(np.float32)
+    sizes = [tuple(scale_size_2d(i + 1, cfg.scale_factor, cfg.stop_scale,
+                                 cfg.img_size, cfg.ar))
+             for i in range(n_stages)]
+    tgt = rng.randn(2, *sizes[-1], cfg.nc_im).astype(np.float32)
+
+    x_t, _ = tG.forward_random(_nchw(z), sizes, vae_levels=vae_levels)
+    loss_t = ((x_t - _nchw(tgt)) ** 2).mean()
+    loss_t.backward()
+
+    params, state = p2j_HPVAEGAN({"state_dict": sd}, ndim=2)
+    amps = jnp.zeros((cfg.stop_scale + 2,))
+
+    def loss_of(p):
+        (x, _, _, _), _ = networks_2d.generator_hpvaegan_apply(
+            cfg, p, state, noise_init=jnp.asarray(z), amps=amps,
+            key=jax.random.PRNGKey(0), is_random=True, train=True)
+        return jnp.mean((x - jnp.asarray(tgt)) ** 2)
+
+    loss_j, grads = jax.value_and_grad(loss_of)(params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               rtol=1e-5)
+
+    def g_t(mod_attr):
+        t = tG
+        for a in mod_attr.split("."):
+            t = t[int(a)] if a.isdigit() else getattr(t, a)
+        # a torch param behind the detach boundary never receives a grad
+        return None if t.grad is None else t.grad.detach().numpy()
+
+    checks = [
+        (grads["decoder"]["blocks"][0]["conv"]["w"],
+         g_t("decoder.head.conv.weight"), True),
+        (grads["decoder"]["blocks"][0]["bn"]["gamma"],
+         g_t("decoder.head.norm.weight"), False),
+        (grads["decoder"]["blocks"][0]["bn"]["beta"],
+         g_t("decoder.head.norm.bias"), False),
+        (grads["body"][0]["tail"]["w"], g_t("body.0.tail.weight"), True),
+        (grads["body"][1]["blocks"][1]["conv"]["w"],
+         g_t("body.1.block0.conv.weight"), True),
+        (grads["body"][1]["blocks"][1]["conv"]["b"],
+         g_t("body.1.block0.conv.bias"), False),
+    ]
+    for ours, theirs, is_conv_w in checks:
+        got = np.asarray(ours)
+        if is_conv_w:
+            got = np.transpose(got, (3, 2, 0, 1))  # HWIO -> OIHW
+        if theirs is None:  # severed in torch -> must be zero here too
+            assert float(np.max(np.abs(got))) == 0.0
+        else:
+            np.testing.assert_allclose(got, theirs, rtol=1e-3, atol=1e-7)
+
+    # z itself got no gradient path severed: encoder params untouched
+    enc_leaf = grads["encode"]["features"][0]["snconv"]["w"]
+    assert float(jnp.max(jnp.abs(enc_leaf))) == 0.0  # random mode skips enc
 
 
 def test_vae_nb_generator_forward_parity_vs_torch():
