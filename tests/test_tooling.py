@@ -50,10 +50,10 @@ def test_bench_supervisor_passthrough_and_wedge_retry(tmp_path):
     import bench
 
     # healthy child
-    rc, line = bench.supervise(
+    rc, line, salvage = bench.supervise(
         [sys.executable, "-c", "print('{\"metric\": 1}')"],
         attempts=1, stall_s=30, deadline_s=60, poll_s=0.1)
-    assert rc == 0 and line.strip() == '{"metric": 1}'
+    assert rc == 0 and line.strip() == '{"metric": 1}' and salvage is None
 
     # wedge on attempt 1 (silent sleep), heal on attempt 2 via a flag file
     flag = tmp_path / "tried"
@@ -64,17 +64,68 @@ def test_bench_supervisor_passthrough_and_wedge_retry(tmp_path):
         "    open(flag, 'w').close()\n"
         "    time.sleep(60)\n"  # silent: no output -> stall kill
         "print('healed')\n")
-    rc, line = bench.supervise([sys.executable, "-c", child],
-                               attempts=2, stall_s=8, deadline_s=120,
-                               poll_s=0.1)  # stall >> interpreter startup
+    rc, line, _ = bench.supervise([sys.executable, "-c", child],
+                                  attempts=2, stall_s=8, deadline_s=120,
+                                  poll_s=0.1)  # stall >> interpreter startup
     # (the 1-core host can take seconds to exec python -c)
     assert rc == 0 and line.strip() == "healed" and flag.exists()
 
     # persistent wedge -> rc 1
-    rc, line = bench.supervise(
+    rc, line, salvage = bench.supervise(
         [sys.executable, "-c", "import time; time.sleep(120)"],
         attempts=2, stall_s=8, deadline_s=120, poll_s=0.1)
-    assert rc == 1 and line == ""
+    assert rc == 1 and line == "" and salvage is None
+
+
+def test_bench_supervisor_total_budget_and_salvage():
+    """Round-3 postmortem (BENCH_r03 rc=124/parsed=null): the supervision
+    must fit a TOTAL budget — t_end caps attempt deadlines and blocks new
+    attempts under 120 s — and a child that printed a provisional headline
+    before wedging is salvaged instead of discarded."""
+    import sys
+    import time
+
+    import bench
+
+    # t_end already nearly spent -> zero attempts started, immediate return
+    t0 = time.time()
+    rc, line, salvage = bench.supervise(
+        [sys.executable, "-c", "import time; time.sleep(60)"],
+        attempts=3, stall_s=60, deadline_s=60, t_end=time.time() + 100,
+        poll_s=0.1)
+    assert rc == 1 and line == "" and salvage is None
+    assert time.time() - t0 < 30  # never ran the 60 s child
+
+    # child prints a provisional JSON record, then dies (the row-wedge
+    # shape: headline measured, a later row killed the process) -> the
+    # record is salvaged across the failed attempts
+    child = ("import json, sys\n"
+             "print(json.dumps({'metric': 'm', 'value': 55.0}), flush=True)\n"
+             "sys.exit(1)\n")
+    rc, line, salvage = bench.supervise(
+        [sys.executable, "-c", child], attempts=2, stall_s=60,
+        deadline_s=60, poll_s=0.1)
+    assert rc == 1 and salvage == {"metric": "m", "value": 55.0}
+
+    # partial/garbage stdout lines are never salvaged
+    assert bench._parse_json_line('{"metric": "m", "val') is None
+    assert bench._parse_json_line("healed") is None
+    assert bench._parse_json_line('{"metric": "m", "value": null}') is None
+    assert bench._parse_json_line('{"metric": "m", "value": 1.5}') \
+        == {"metric": "m", "value": 1.5}
+
+
+def test_bench_child_budget_gating(monkeypatch):
+    """_remaining_budget drives explicit row skipping: unsupervised runs are
+    unbounded; a nearly-spent _BENCH_DEADLINE reports the truth."""
+    import time
+
+    import bench
+
+    monkeypatch.delenv("_BENCH_DEADLINE", raising=False)
+    assert bench._remaining_budget() == float("inf")
+    monkeypatch.setenv("_BENCH_DEADLINE", repr(time.time() + 50))
+    assert 40 < bench._remaining_budget() <= 50
 
 
 def test_bench_last_known_picks_newest_real_measurement(tmp_path):
