@@ -44,6 +44,15 @@ def load_generator(cfg, exp_dir: str, ndim: int, netG: str = ""):
     inter = saver.load_json("intermediate.json", path=exp_dir)
     if cfg.scale_idx == -1:
         cfg.scale_idx = int(inter["scale_idx"])
+        if inter.get("inflight"):
+            # a mid-scale (--ckpt-interval) marker names the IN-PROGRESS
+            # scale, whose netG_<k> does not exist yet — evaluate the last
+            # FINALIZED scale instead (same resolution as preprocess.py)
+            if cfg.scale_idx == 0:
+                raise RuntimeError(
+                    "training is mid-scale 0 (inflight checkpoint only); "
+                    "no finalized scale to evaluate yet")
+            cfg.scale_idx -= 1
     cfg.Noise_Amps = inter["noise_amps"][:cfg.scale_idx + 1]
 
     path = netG or os.path.join(exp_dir, f"netG_{cfg.scale_idx}.ckpt")

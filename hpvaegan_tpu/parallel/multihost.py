@@ -161,16 +161,43 @@ def agree_seed(seed: Optional[int]) -> Optional[int]:
     return int(multihost_utils.broadcast_one_to_all(val)[0])
 
 
-def broadcast_str(s: str, max_len: int = 1024) -> str:
+def agree_minmax(x: float) -> tuple:
+    """(min, max) of a per-process scalar across ALL processes (identity
+    single-process). Unlike agree_float (a primary broadcast), EVERY
+    process sees every process's value — so a symmetry check
+    (`lo != hi -> raise`) aborts the job on all ranks instead of turning
+    an asymmetric filesystem view into a distributed hang at the next
+    collective (the primary, whose value defines a broadcast, would never
+    have raised)."""
+    if not is_multiprocess():
+        return float(x), float(x)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    vals = multihost_utils.process_allgather(
+        np.asarray([x], dtype=np.float64))
+    return float(np.min(vals)), float(np.max(vals))
+
+
+def broadcast_str(s: str, max_len: int = 4096) -> str:
     """Broadcast a string from the primary (fixed-width uint8 buffer —
-    broadcast_one_to_all needs identical shapes on every process)."""
+    broadcast_one_to_all needs identical shapes on every process).
+
+    A string longer than max_len raises instead of silently truncating:
+    a truncated experiment dir would point non-primary NullSavers at a
+    wrong path for shared-FS reads (netD warm-start), surfacing later as
+    a confusing FileNotFoundError or a symmetry abort."""
     if not is_multiprocess():
         return s
     import numpy as np
     from jax.experimental import multihost_utils
 
+    b = s.encode()
+    if len(b) > max_len:
+        raise ValueError(
+            f"broadcast_str: encoded string is {len(b)} bytes > the "
+            f"fixed broadcast buffer ({max_len}); raise max_len")
     buf = np.zeros(max_len, np.uint8)
-    b = s.encode()[:max_len]
     buf[:len(b)] = np.frombuffer(b, np.uint8)
     out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
     return out.tobytes().rstrip(b"\x00").decode()

@@ -116,9 +116,13 @@ def _train_baseline_scale(cfg, g_apply, d_apply, d_init, dataset, saver,
             # multi-process: the warm-start must be SYMMETRIC — if the ckpt
             # is visible on some processes only (no shared FS view), a
             # warning-and-continue would desync replica d_params and the
-            # "identical replicated program" silently trains corrupted
+            # "identical replicated program" silently trains corrupted.
+            # min/max over an allgather so EVERY process (including the
+            # primary) raises and the job aborts cleanly instead of
+            # hanging at the next collective
             from ..parallel import multihost
-            if multihost.agree_float(loaded) != loaded:
+            lo, hi = multihost.agree_minmax(loaded)
+            if lo != hi:
                 raise RuntimeError(
                     f"netD_{scale_idx - 1}.ckpt visible on only some "
                     "processes — multi-process baselines need a shared "

@@ -185,3 +185,42 @@ def test_eval_video_on_device_fid(tmp_path):
         rec = json.load(f)
     assert rec["metric"] == "SVFID" and rec["value"] == svfid
     assert rec["on_device_fid"] is True and rec["num_samples"] == 8
+
+def test_eval_resolves_inflight_marker_to_last_finalized(tmp_path):
+    """A mid-scale (--ckpt-interval) intermediate.json names the IN-PROGRESS
+    scale, whose netG_<k> does not exist yet; eval must score the last
+    FINALIZED scale (mirrors preprocess.py's resolution) instead of dying
+    with 'no <G> checkpoint found'."""
+    import json
+
+    import pytest
+
+    from hpvaegan_tpu.evaluation import load_generator
+    from hpvaegan_tpu.utils.saver import save_pytree
+
+    # CSG skips the HPVAEGAN body/scale cross-check; a stub pytree suffices
+    cfg = Config(video_path=VID, generator="GeneratorCSG",
+                 img_size=18, min_size=9, max_size=18).finalize()
+    cfg.experiment_dir = str(tmp_path)
+    save_pytree({"params": {"w": np.ones(2)}, "state": {}},
+                str(tmp_path / "netG_1.ckpt"))
+    with open(tmp_path / "intermediate.json", "w") as f:
+        json.dump({"noise_amps": [1.0, 0.1, 0.1], "scale_idx": 2,
+                   "inflight": "inflight_2.ckpt", "inflight_iter": 4}, f)
+    cfg.scale_idx = -1
+    params, state, _ = load_generator(cfg, str(tmp_path), ndim=3)
+    assert cfg.scale_idx == 1 and cfg.Noise_Amps == [1.0, 0.1]
+    np.testing.assert_array_equal(params["w"], np.ones(2))
+
+    # an explicit --scale-idx is NOT overridden by the marker
+    cfg.scale_idx = 1
+    load_generator(cfg, str(tmp_path), ndim=3)
+    assert cfg.scale_idx == 1
+
+    # mid-scale 0: nothing finalized to evaluate
+    with open(tmp_path / "intermediate.json", "w") as f:
+        json.dump({"noise_amps": [1.0], "scale_idx": 0,
+                   "inflight": "inflight_0.ckpt", "inflight_iter": 4}, f)
+    cfg.scale_idx = -1
+    with pytest.raises(RuntimeError, match="mid-scale 0"):
+        load_generator(cfg, str(tmp_path), ndim=3)

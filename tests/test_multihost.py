@@ -50,6 +50,7 @@ def test_single_process_helpers_are_identity():
     np.testing.assert_array_equal(a, x)
     np.testing.assert_array_equal(b, x + 1)
     assert multihost.agree_float(2.5) == 2.5
+    assert multihost.agree_minmax(2.5) == (2.5, 2.5)
     sentinel = object()
     assert multihost.select_saver(None, lambda: sentinel) is sentinel
 
@@ -125,3 +126,48 @@ def test_two_process_training(tmp_path):
     for k in range(n_scales):
         assert os.path.exists(os.path.join(exp, f"netG_{k}.ckpt"))
     assert os.path.exists(os.path.join(exp, "args.txt"))
+
+    # ---- eval leg (the worker runs the CLI path with --on-device-fid) ----
+    # both processes agreed on the score, the primary persisted artifacts
+    assert by_proc[0]["sifid"] == by_proc[1]["sifid"]
+    assert by_proc[0]["sifid"] > 0
+    assert os.path.exists(os.path.join(exp, "eval", "random_samples.npy"))
+    metrics = json.load(open(os.path.join(exp, "eval", "metrics.json")))
+    assert metrics["metric"] == "SIFID"
+    assert metrics["value"] == by_proc[0]["sifid"]
+
+
+def test_two_process_baselines_training(tmp_path):
+    """Multi-process CSG video-baselines train: exercises the 3D chunk over
+    a cross-process mesh AND the scale>0 netD warm-start symmetry allgather
+    (agree_minmax) with real Gloo collectives."""
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), "2", str(port), str(tmp_path),
+         "baselines"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    by_proc = {o["proc"]: o for o in outs}
+
+    assert by_proc[0]["checksum"] == by_proc[1]["checksum"]
+    assert by_proc[0]["amps"] == by_proc[1]["amps"]
+    assert by_proc[0]["saver"] == "DataSaver"
+    assert by_proc[1]["saver"] == "NullSaver"
+    assert by_proc[0]["n_scales"] >= 2  # warm-start ran at scale >= 1
+
+    exps = glob.glob(os.path.join(str(tmp_path), "**", "experiment_*"),
+                     recursive=True)
+    assert len(exps) == 1
+    exp = exps[0]
+    # baselines contract: netD at EVERY scale, persisted Z_init
+    for k in range(by_proc[0]["n_scales"]):
+        assert os.path.exists(os.path.join(exp, f"netG_{k}.ckpt"))
+        assert os.path.exists(os.path.join(exp, f"netD_{k}.ckpt"))
+    assert os.path.exists(os.path.join(exp, "Z_init.npy"))
