@@ -1,0 +1,44 @@
+#!/bin/bash
+# The reference's FULL default video workload, end-to-end on hardware:
+# 13-frame / 256px HP-VAE-GAN video training at 50,000 iters per scale
+# (reference train_video.py:261 default; its fps/td ladder yields 13+
+# scales), under the stall watchdog with mid-scale checkpoints so outages
+# resume instead of restarting.
+#
+# Usage: bash scripts/run_full_video.sh [RUN_DIR] [HOURS_BUDGET]
+#   RUN_DIR       default /tmp/run_fullvid (must be dedicated to this run)
+#   HOURS_BUDGET  wall-clock cap, default 10 — the run is checkpointed
+#                 (--ckpt-interval), so a capped run is RESUMABLE: re-invoke
+#                 with the same RUN_DIR and it continues where it stopped.
+#
+# Expected: at the round-3 measured finest-3D rate (1.84 it/s sustained,
+# docs/PERF.md soak) the finest scale alone is ~7.5 h; the full ladder is
+# a 15-25 h job. Record per-scale close lines + incidents in docs/PERF.md;
+# on completion run eval_video.py (SVFID + GIFs).
+set -u
+root=${1:-/tmp/run_fullvid}
+hours=${2:-10}
+cd "$(dirname "$0")/.."
+
+echo "== probe transport =="
+timeout 300 python - <<'EOF' || { echo "tunnel down — not starting"; exit 1; }
+import jax, jax.numpy as jnp, numpy as np
+jax.devices()
+x = jnp.ones((256, 256))
+print("tunnel ok:", float(np.asarray((x @ x).sum())), flush=True)
+EOF
+
+# balloons_pan.avi: the checked-in 24-frame eyeball-able clip (the
+# reference ships no video asset); defaults give the reference's exact
+# shape: 256px, 13 frames, sampling-rates 4 3 2 1 -> 13-scale ladder
+timeout "$((hours * 3600))" bash scripts/train_watchdog.sh "$root" 900 50 \
+    python train_video.py --video-path data/vids/balloons_pan.avi \
+    --checkname fullvid --run-dir "$root" --manualSeed 1 \
+    --ckpt-interval 2000 --print-interval 500
+rc=$?
+if [ "$rc" -eq 124 ]; then
+    echo "HOURS_BUDGET reached — run is checkpointed; re-invoke to resume:"
+    echo "  bash scripts/run_full_video.sh $root <more hours>"
+    exit 124
+fi
+exit "$rc"

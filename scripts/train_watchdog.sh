@@ -24,6 +24,12 @@
 set -u
 run_dir=$1; stall=$2; max_restarts=$3; shift 3
 
+# an external kill of the watchdog (timeout(1), a wall-clock budget, ^C)
+# must not orphan the training child — it would keep holding the TPU
+pid=""
+trap 'if [ -n "$pid" ]; then kill -TERM "$pid" 2>/dev/null; sleep 5; \
+      kill -KILL "$pid" 2>/dev/null; fi; exit 143' TERM INT
+
 attempt=0
 while :; do
     resume=()
@@ -60,7 +66,10 @@ d=json.load(open(sys.argv[1])); print(d['scale_idx'], d.get('inflight',''))" "$i
 
     stalled=0
     while kill -0 "$pid" 2>/dev/null; do
-        sleep 30
+        # interruptible sleep: a trap on TERM/INT fires only between
+        # commands, and bash defers it until a foreground child exits —
+        # `sleep & wait` lets the signal cut the wait immediately
+        sleep 30 & wait $! 2>/dev/null
         log=$(ls -t "$run_dir"/*/*/experiment_*/logbook.txt 2>/dev/null | head -1)
         ref=$start_ts
         if [ -n "${log:-}" ]; then
