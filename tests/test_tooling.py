@@ -354,3 +354,53 @@ def test_args_txt_preserves_spaces_in_values(tmp_path):
     back = Config.from_args_txt(path)
     assert back.image_path == "/data/my photos/x.jpg"
     assert back.checkname == "my run"
+
+
+def test_bench_main_rows_provisional_and_budget_skip(monkeypatch, capsys):
+    """bench.main row plumbing without hardware: the child prints a
+    provisional headline record before the extra rows (salvage source),
+    labels the video row's workload, and when the supervisor budget is
+    nearly spent it skips rows with an explicit reason instead of
+    overrunning the driver's timeout."""
+    import json
+    import sys
+    import time
+
+    import bench
+
+    monkeypatch.setattr(bench, "bench_scale", lambda *a, **k: 55.0)
+    monkeypatch.setattr(bench, "bench_sampling", lambda *a, **k: 23.0)
+    monkeypatch.setattr(bench, "bench_video_scale", lambda *a, **k: 11.0)
+    monkeypatch.setattr(bench, "target_steps_per_sec", lambda: 2.9)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    monkeypatch.setenv("_BENCH_CHILD", "1")
+
+    # plenty of budget: all rows run; TWO stdout lines (provisional + full)
+    monkeypatch.setenv("_BENCH_DEADLINE", repr(time.time() + 3600))
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    prov, full = json.loads(lines[0]), json.loads(lines[1])
+    assert prov["value"] == 55.0 and "sampling_images_per_sec" not in prov
+    assert full["sampling_images_per_sec"] == 23.0
+    assert full["video_steps_per_sec"] == 11.0
+    assert "128px" in full["video_workload"]
+    assert full["vs_baseline"] == round(55.0 / 2.9, 4)
+
+    # budget nearly spent: headline survives, rows skip with a reason
+    monkeypatch.setenv("_BENCH_DEADLINE", repr(time.time() + 60))
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    full = json.loads(lines[-1])
+    assert full["value"] == 55.0
+    assert full["sampling_images_per_sec"] is None
+    assert full["sampling_skipped"] == "bench budget exhausted"
+    assert full["video_steps_per_sec"] is None
+    assert full["video_skipped"] == "bench budget exhausted"
+
+    # --headline-only: exactly ONE line (manual/raw contract unchanged)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--headline-only"])
+    monkeypatch.setenv("_BENCH_DEADLINE", repr(time.time() + 3600))
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 1 and json.loads(lines[0])["value"] == 55.0
