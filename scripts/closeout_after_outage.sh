@@ -30,7 +30,11 @@ print("tunnel ok:", float(np.asarray((x @ x).sum())),
 EOF
 
 echo "== bench (full surface) =="
+# time it: the default full-surface bench must fit BENCH_TOTAL_BUDGET
+# (1200 s) with headroom — record the healthy end-to-end duration
+bench_t0=$(date +%s)
 python bench.py | tee /tmp/bench_head.json
+echo "bench wall: $(( $(date +%s) - bench_t0 ))s (budget 1200s)"
 
 echo "== native serving chain =="
 NUM_SAMPLES=${NUM_SAMPLES:-8} bash scripts/run_infer_tpu.sh "$exp"
