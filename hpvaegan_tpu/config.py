@@ -113,7 +113,9 @@ class Config:
     #                         generator forward; ~10% faster). Deviates from
     #                         the reference's fresh-noise-per-step fakes.
     bug_compat: bool = False  # replicate reference bugs (frozen GP alpha,
-    #                           severed adversarial G gradient: losses.py:26,94)
+    #                           severed adversarial G gradient: losses.py:26,94;
+    #                           noise amp divided by batch_size again after the
+    #                           batch-mean RMSE: train_image.py:147)
     xla_options: Optional[dict] = None  # extra XLA compiler options for the
     #                         train chunk (PJRT CompileOptions env overrides;
     #                         reaches the remote TPU compiler where XLA_FLAGS

@@ -190,7 +190,11 @@ def _train_baseline_scale(cfg, g_apply, d_apply, d_init, dataset, saver,
         real, real_zero, _ = batch_fn(data_scale, data_zero, kb)
         rmse = calib(state.g_params, state.g_state, real, real_zero,
                      _amps_array(noise_amps, cfg.stop_scale), kc)
-        noise_amps[-1] = cfg.noise_amp_init * float(rmse) / cfg.batch_size
+        # batch-invariant amp by default; --bug-compat restores the
+        # reference's extra /batch_size on the batch-mean RMSE (bug #3,
+        # see trainer.py — reference train_video_baselines.py:140)
+        denom = cfg.batch_size if cfg.bug_compat else 1
+        noise_amps[-1] = cfg.noise_amp_init * float(rmse) / denom
     amps = _amps_array(noise_amps, cfg.stop_scale)
 
     start_iter = int(inflight["iter"]) if inflight is not None else 0

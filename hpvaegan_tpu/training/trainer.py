@@ -207,7 +207,13 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
         real, real_zero, _ = batch_fn(data_scale, data_zero, kb)
         rmse = calib(state.g_params, state.g_state, real, real_zero,
                      _amps_array(noise_amps, cfg.stop_scale), kc)
-        noise_amps[-1] = cfg.noise_amp_init * float(rmse) / cfg.batch_size
+        # reference bug #3 (train_image.py:147): the batch-MEAN RMSE is
+        # divided by batch_size again, shrinking the injected noise amp
+        # batch-fold at batch>1 (latent in the reference — it only ever
+        # trains batch 1, where /1 is identity). Fixed by default so the
+        # amp is batch-invariant; --bug-compat restores the division.
+        denom = cfg.batch_size if cfg.bug_compat else 1
+        noise_amps[-1] = cfg.noise_amp_init * float(rmse) / denom
     amps = _amps_array(noise_amps, cfg.stop_scale)
 
     start_iter = int(inflight["iter"]) if inflight is not None else 0

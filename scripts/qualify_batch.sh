@@ -26,20 +26,41 @@ root=${1:-/tmp/run_qb}
 cd "$(dirname "$0")/.."
 img=data/imgs/air_balloons.jpg
 
-echo "== probe transport =="
-timeout 300 python - <<'EOF'
+# QB_SMOKE=1: tiny-shape CPU dress rehearsal of the full pipeline (train x3,
+# eval x3, compare) so plumbing bugs never cost TPU time. Numbers from a
+# smoke run are meaningless — qualification requires the real workload.
+if [ "${QB_SMOKE:-0}" = "1" ]; then
+    iters_full=6; iters_fast=2
+    size_args=(--img-size 36 --min-size 18 --max-size 36 --nfc 8
+               --latent-dim 8 --num-layer 1 --enc-blocks 1 --vae-levels 1)
+    eval_args=(--num-samples 4 --max-samples 2)
+    last_scale=$(python - <<'EOF'
+from hpvaegan_tpu.config import Config
+cfg = Config(image_path="data/imgs/air_balloons.jpg", img_size=36,
+             min_size=18, max_size=36).finalize()
+print(cfg.stop_scale)
+EOF
+)
+else
+    iters_full=5000; iters_fast=625
+    size_args=()
+    eval_args=(--num-samples 50 --max-samples 4)
+    last_scale=9
+    echo "== probe transport =="
+    timeout 300 python - <<'EOF'
 import jax, jax.numpy as jnp, numpy as np
 jax.devices()
 x = jnp.ones((256, 256))
 print("tunnel ok:", float(np.asarray((x @ x).sum())), flush=True)
 EOF
+fi
 
 train_one() {  # name batch niter
     # each run gets a DEDICATED run dir: the watchdog resumes from the
     # newest intermediate.json under its run dir, so sharing one root
     # across runs would resume the wrong experiment
     local name=$1 batch=$2 niter=$3
-    if [ -f "$root/$name/air_balloons/$name/experiment_0/netG_9.ckpt" ]; then
+    if [ -f "$root/$name/air_balloons/$name/experiment_0/netG_${last_scale}.ckpt" ]; then
         echo "== $name already trained, skipping =="
         return
     fi
@@ -47,7 +68,8 @@ train_one() {  # name batch niter
     bash scripts/train_watchdog.sh "$root/$name" 900 2 \
         python train_image.py --image-path "$img" --checkname "$name" \
         --run-dir "$root/$name" --manualSeed 1 --batch-size "$batch" \
-        --niter "$niter" --ckpt-interval 1000 --print-interval 1000
+        --niter "$niter" --ckpt-interval 1000 --print-interval 1000 \
+        "${size_args[@]}"
 }
 
 eval_one() {  # name
@@ -56,14 +78,14 @@ eval_one() {  # name
         echo "== $1 already evaluated, skipping =="
         return
     fi
-    echo "== eval $1 (50 samples, on-device SIFID) =="
+    echo "== eval $1 (on-device SIFID) =="
     timeout 1800 python eval_image.py --exp-dir "$exp" \
-        --num-samples 50 --on-device-fid --max-samples 4
+        --on-device-fid "${eval_args[@]}"
 }
 
-train_one b1 1 5000
-train_one b8 8 5000
-train_one b8fast 8 625
+train_one b1 1 "$iters_full"
+train_one b8 8 "$iters_full"
+train_one b8fast 8 "$iters_fast"
 eval_one b1
 eval_one b8
 eval_one b8fast

@@ -151,3 +151,28 @@ def test_video_too_few_frames_fails_loudly(tmp_path):
                  run_dir=str(tmp_path), manualSeed=1).finalize()
     with pytest.raises(ValueError, match="frames per temporal window"):
         SingleVideoDataset(cfg)
+
+
+def test_amp_calibration_batch_invariant_unless_bug_compat(tmp_path):
+    """Reference bug #3 (train_image.py:147): the batch-mean RMSE is divided
+    by batch_size AGAIN, shrinking the injected noise amp batch-fold at
+    batch>1 (latent in the reference — it only trains batch 1). Default
+    fixes it (batch-invariant amp); --bug-compat restores the division.
+    Same seed => identical state at the first calibration, so the two
+    calibrated amps differ by exactly batch_size."""
+    def run(bug_compat, sub):
+        cfg = Config(image_path=IMG, checkname="a", nfc=8, latent_dim=8,
+                     num_layer=1, enc_blocks=1, niter=2, img_size=24,
+                     min_size=12, max_size=24, vae_levels=1, batch_size=4,
+                     bug_compat=bug_compat, print_interval=100,
+                     run_dir=str(tmp_path / sub), manualSeed=1).finalize()
+        return run_training(cfg, mode="image", seed=1)[2]
+
+    amps_fixed = run(False, "fixed")
+    amps_compat = run(True, "compat")
+    # scale 0 is not calibrated (amp == 1) in both regimes
+    assert amps_fixed[0] == 1.0 and amps_compat[0] == 1.0
+    # scale 1's calibration runs on identical params/key in both runs:
+    # the only difference is the division
+    np.testing.assert_allclose(amps_fixed[1], 4 * amps_compat[1], rtol=1e-6)
+    assert len(amps_fixed) == len(amps_compat)
