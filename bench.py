@@ -310,7 +310,9 @@ def _supervised_reexec() -> None:
     BENCH_ATTEMPTS (default 3) times.
 
     The WHOLE supervision — every attempt plus emitting the final line —
-    is bounded by BENCH_TOTAL_BUDGET (default 1200 s): round 3's artifact
+    is bounded by BENCH_TOTAL_BUDGET (default 1440 s — above the ~1200 s
+    worst-case healthy cold path, inside the judge-suggested 20-25 min and
+    under the round driver's own timeout): round 3's artifact
     was rc=124/parsed=null because 3 x 1 h worst-case attempts overran the
     driver's own timeout and the honest-null line never printed. Now the
     per-attempt deadline is sized from the remaining budget so a parseable
@@ -321,7 +323,7 @@ def _supervised_reexec() -> None:
     salvaged — its last parseable stdout line (the provisional headline
     record it prints mid-run) is emitted with a `partial` reason rather
     than discarding a real measurement."""
-    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "1200"))
+    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "1440"))
     margin = 30.0  # reserved for kill + final-line printing
     t_end = time.time() + total_budget - margin
     rc, line, salvage = supervise(

@@ -22,7 +22,7 @@ from . import models
 from .config import Config
 from .parallel import multihost
 from .utils import pyramid
-from .utils.saver import DataSaver, load_pytree
+from .utils.saver import DataSaver, load_pytree, resolve_finalized_scale
 
 
 def hydrate_config(exp_dir: str, overrides: dict,
@@ -43,16 +43,9 @@ def load_generator(cfg, exp_dir: str, ndim: int, netG: str = ""):
     saver = DataSaver(cfg)
     inter = saver.load_json("intermediate.json", path=exp_dir)
     if cfg.scale_idx == -1:
-        cfg.scale_idx = int(inter["scale_idx"])
-        if inter.get("inflight"):
-            # a mid-scale (--ckpt-interval) marker names the IN-PROGRESS
-            # scale, whose netG_<k> does not exist yet — evaluate the last
-            # FINALIZED scale instead (same resolution as preprocess.py)
-            if cfg.scale_idx == 0:
-                raise RuntimeError(
-                    "training is mid-scale 0 (inflight checkpoint only); "
-                    "no finalized scale to evaluate yet")
-            cfg.scale_idx -= 1
+        # an inflight (--ckpt-interval) marker resolves to the last
+        # FINALIZED scale — shared contract with preprocess/postprocess
+        cfg.scale_idx = resolve_finalized_scale(inter, what="evaluate")
     cfg.Noise_Amps = inter["noise_amps"][:cfg.scale_idx + 1]
 
     path = netG or os.path.join(exp_dir, f"netG_{cfg.scale_idx}.ckpt")

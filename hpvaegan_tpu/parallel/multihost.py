@@ -186,21 +186,28 @@ def broadcast_str(s: str, max_len: int = 4096) -> str:
     A string longer than max_len raises instead of silently truncating:
     a truncated experiment dir would point non-primary NullSavers at a
     wrong path for shared-FS reads (netD warm-start), surfacing later as
-    a confusing FileNotFoundError or a symmetry abort."""
+    a confusing FileNotFoundError or a symmetry abort. The PRIMARY's true
+    length rides the same collective (8-byte header), so the raise fires
+    on EVERY process — a local pre-collective check would raise only on
+    the primary (whose string is the long one; non-primaries pass \"\")
+    and leave the others hung in the collective."""
     if not is_multiprocess():
         return s
     import numpy as np
     from jax.experimental import multihost_utils
 
-    b = s.encode()
-    if len(b) > max_len:
-        raise ValueError(
-            f"broadcast_str: encoded string is {len(b)} bytes > the "
-            f"fixed broadcast buffer ({max_len}); raise max_len")
-    buf = np.zeros(max_len, np.uint8)
-    buf[:len(b)] = np.frombuffer(b, np.uint8)
+    b = s.encode()[:max_len]
+    true_len = len(s.encode())
+    buf = np.zeros(8 + max_len, np.uint8)
+    buf[:8] = np.frombuffer(true_len.to_bytes(8, "big"), np.uint8)
+    buf[8:8 + len(b)] = np.frombuffer(b, np.uint8)
     out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
-    return out.tobytes().rstrip(b"\x00").decode()
+    primary_len = int.from_bytes(out[:8].tobytes(), "big")
+    if primary_len > max_len:
+        raise ValueError(
+            f"broadcast_str: primary's encoded string is {primary_len} "
+            f"bytes > the fixed broadcast buffer ({max_len}); raise max_len")
+    return out[8:8 + primary_len].tobytes().decode()
 
 
 def select_saver(cfg, make_primary):

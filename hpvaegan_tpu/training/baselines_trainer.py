@@ -249,6 +249,12 @@ def _train_baseline_scale(cfg, g_apply, d_apply, d_init, dataset, saver,
         scale_idx, noise_amps,
         {"params": state.g_params, "state": state.g_state},
         {"params": state.d_params, "state": state.d_state})
+    # multi-process: the NEXT scale's netD warm-start reads this scale's
+    # just-written checkpoint from the shared FS — barrier here so a
+    # non-primary can't race ahead of the primary's write and turn a
+    # visibility lag into a spurious symmetry abort
+    from ..parallel import multihost
+    multihost.sync(f"baselines_scale_{scale_idx}_finalized")
     return state.g_params, state.g_state, noise_amps, key
 
 

@@ -112,6 +112,23 @@ def load_pytree(filename: str):
         return pickle.load(f)
 
 
+def resolve_finalized_scale(inter: dict, what: str = "evaluate") -> int:
+    """The scale whose netG_<k>.ckpt actually exists, per the
+    intermediate.json contract: a mid-scale (--ckpt-interval) 'inflight'
+    marker names the IN-PROGRESS scale, whose finalized checkpoint does
+    not exist yet — serve the previous one (error at scale 0: nothing
+    finalized). ONE implementation for eval/preprocess/postprocess so the
+    marker semantics cannot drift between consumers."""
+    scale_idx = int(inter["scale_idx"])
+    if inter.get("inflight"):
+        if scale_idx == 0:
+            raise RuntimeError(
+                f"training is mid-scale 0 (inflight checkpoint only); "
+                f"no finalized scale to {what} yet")
+        scale_idx -= 1
+    return scale_idx
+
+
 def write_video(array: np.ndarray, filename: str, fps: float) -> None:
     """MJPG avi writer, un-normalizing from [-1,1] (reference: saver.py:9-18).
     `array` layout: (C, T, H, W) to match the reference artifact contract."""

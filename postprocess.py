@@ -90,17 +90,13 @@ def main():
     cfg.scale_idx = args.scale_idx
     if cfg.scale_idx == -1:
         import json
+
+        from hpvaegan_tpu.utils.saver import resolve_finalized_scale
         with open(os.path.join(args.exp_dir, 'intermediate.json')) as f:
             inter = json.load(f)
-        cfg.scale_idx = int(inter['scale_idx'])
-        if inter.get('inflight'):
-            # mid-scale marker (--ckpt-interval) names the IN-PROGRESS
-            # scale; the runner output was exported from the last
-            # FINALIZED one (preprocess.pre_process applies the same rule)
-            if cfg.scale_idx == 0:
-                raise RuntimeError('training is mid-scale 0; nothing '
-                                   'finalized to post-process yet')
-            cfg.scale_idx -= 1
+        # the runner output was exported from the last FINALIZED scale
+        # (same shared rule as preprocess.pre_process / eval)
+        cfg.scale_idx = resolve_finalized_scale(inter, what='post-process')
 
     result_dir = args.result_dir or os.path.join(args.exp_dir, 'infer',
                                                  'result')

@@ -11,6 +11,7 @@ import numpy as np
 
 from hpvaegan_tpu.config import Config
 from hpvaegan_tpu.utils import pyramid
+from hpvaegan_tpu.utils.saver import resolve_finalized_scale
 
 
 def pre_process(cfg, exp_dir: str, seed: int = 0, num_samples: int = 1):
@@ -25,16 +26,9 @@ def pre_process(cfg, exp_dir: str, seed: int = 0, num_samples: int = 1):
     with open(os.path.join(exp_dir, "intermediate.json")) as f:
         inter = json.load(f)
     if cfg.scale_idx == -1:
-        cfg.scale_idx = int(inter["scale_idx"])
-        if inter.get("inflight"):
-            # a mid-scale (--ckpt-interval) marker names the IN-PROGRESS
-            # scale, whose netG_<k> does not exist yet — serve the last
-            # FINALIZED scale instead
-            if cfg.scale_idx == 0:
-                raise RuntimeError(
-                    "training is mid-scale 0 (inflight checkpoint only); "
-                    "no finalized scale to serve yet")
-            cfg.scale_idx -= 1
+        # an inflight (--ckpt-interval) marker resolves to the last
+        # FINALIZED scale — shared contract with eval/postprocess
+        cfg.scale_idx = resolve_finalized_scale(inter, what="serve")
     amps = np.zeros((cfg.stop_scale + 2,), np.float32)
     vals = inter["noise_amps"][:cfg.scale_idx + 1]
     amps[:len(vals)] = vals

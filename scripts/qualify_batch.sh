@@ -30,6 +30,7 @@ img=data/imgs/air_balloons.jpg
 # eval x3, compare) so plumbing bugs never cost TPU time. Numbers from a
 # smoke run are meaningless — qualification requires the real workload.
 if [ "${QB_SMOKE:-0}" = "1" ]; then
+    export JAX_PLATFORMS=cpu  # the rehearsal must never touch (or wedge on) the TPU
     iters_full=6; iters_fast=2
     size_args=(--img-size 36 --min-size 18 --max-size 36 --nfc 8
                --latent-dim 8 --num-layer 1 --enc-blocks 1 --vae-levels 1)
@@ -55,12 +56,17 @@ print("tunnel ok:", float(np.asarray((x @ x).sum())), flush=True)
 EOF
 fi
 
+exp_of() {  # name -> newest experiment dir (a watchdog restart resumes
+    # into a NEW auto-incremented experiment_<n>; results live in the newest)
+    ls -td "$root/$1/air_balloons/$1"/experiment_* 2>/dev/null | head -1
+}
+
 train_one() {  # name batch niter
     # each run gets a DEDICATED run dir: the watchdog resumes from the
     # newest intermediate.json under its run dir, so sharing one root
     # across runs would resume the wrong experiment
     local name=$1 batch=$2 niter=$3
-    if [ -f "$root/$name/air_balloons/$name/experiment_0/netG_${last_scale}.ckpt" ]; then
+    if [ -f "$(exp_of "$name")/netG_${last_scale}.ckpt" ]; then
         echo "== $name already trained, skipping =="
         return
     fi
@@ -73,7 +79,7 @@ train_one() {  # name batch niter
 }
 
 eval_one() {  # name
-    local exp="$root/$1/air_balloons/$1/experiment_0"
+    local exp; exp=$(exp_of "$1")
     if [ -f "$exp/eval/metrics.json" ]; then
         echo "== $1 already evaluated, skipping =="
         return
@@ -92,10 +98,10 @@ eval_one b8fast
 
 echo
 echo "== A/B vs the batch-1 control =="
-a="$root/b1/air_balloons/b1/experiment_0"
+a=$(exp_of b1)
 for v in b8 b8fast; do
     echo "---- b1 vs $v ----"
-    python scripts/compare_runs.py "$a" "$root/$v/air_balloons/$v/experiment_0" \
+    python scripts/compare_runs.py "$a" "$(exp_of "$v")" \
         || true
 done
 echo

@@ -52,13 +52,19 @@ def checksum_of(params):
 # agree_minmax: every process sees the full spread, not just the primary's
 lo, hi = multihost.agree_minmax(float(proc_id))
 assert (lo, hi) == (0.0, float(nprocs - 1)), (lo, hi)
-# broadcast_str: an over-long string must raise on EVERY process (before
-# the collective — symmetric), never truncate to a wrong path
+# broadcast_str: when the PRIMARY's string is over-long, EVERY process must
+# raise (never truncate to a wrong path) — the asymmetric shape is the real
+# production case: non-primaries pass "" (select_saver), so a local length
+# check would raise on the primary only and hang the rest in the collective
 try:
-    multihost.broadcast_str("x" * 5000, max_len=4096)
+    multihost.broadcast_str("x" * 5000 if multihost.is_primary() else "",
+                            max_len=4096)
     raise AssertionError("broadcast_str accepted an over-long string")
 except ValueError:
     pass
+# exact-fit boundary survives the round-trip on every rank
+assert multihost.broadcast_str(
+    "y" * 4096 if multihost.is_primary() else "", max_len=4096) == "y" * 4096
 
 # seed agreement: give the processes DIFFERENT requests; the primary's wins
 seed = multihost.agree_seed(7 + proc_id * 1000)

@@ -130,7 +130,8 @@ def build_parser() -> argparse.ArgumentParser:
                              'restart resumes bit-exactly mid-scale instead '
                              'of losing the whole scale')
     parser.add_argument('--bug-compat', action='store_true', default=False,
-                        help='replicate reference bugs (frozen GP alpha, severed adv G grad)')
+                        help='replicate reference bugs (frozen GP alpha, severed '
+                             'adv G grad, noise amp /batch_size)')
     parser.add_argument('--run-dir', type=str, default='run', help='experiment root dir')
     return parser
 
