@@ -36,6 +36,13 @@ bench_t0=$(date +%s)
 python bench.py | tee /tmp/bench_head.json
 echo "bench wall: $(( $(date +%s) - bench_t0 ))s (budget 1200s)"
 
+echo "== pallas kernel on real TPU =="
+# the suite runs these in interpret mode on the virtual CPU platform;
+# hardware semantics (pltpu PRNG statistics, the sampler flag compile)
+# re-verify only here (HPV_TEST_TPU=1 lets conftest keep the axon chip)
+HPV_TEST_TPU=1 timeout 900 \
+    python -m pytest tests/test_pallas_kernels.py -q -p no:cacheprovider
+
 echo "== native serving chain =="
 NUM_SAMPLES=${NUM_SAMPLES:-8} bash scripts/run_infer_tpu.sh "$exp"
 python scripts/check_runner_bitexact.py "$exp"
