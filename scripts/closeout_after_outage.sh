@@ -17,7 +17,7 @@ exp=$(realpath "${1:-/tmp/run_full/air_balloons/full/experiment_0}")
 cd "$(dirname "$0")/.."
 
 echo "== probe transport =="
-timeout 300 python - <<'EOF'
+timeout 600 python - <<'EOF'
 import time
 t0 = time.time()
 import jax

@@ -48,7 +48,7 @@ else
     eval_args=(--num-samples 50 --max-samples 4)
     last_scale=9
     echo "== probe transport =="
-    timeout 300 python - <<'EOF'
+    timeout 600 python - <<'EOF'
 import jax, jax.numpy as jnp, numpy as np
 jax.devices()
 x = jnp.ones((256, 256))

@@ -21,7 +21,7 @@ hours=${2:-10}
 cd "$(dirname "$0")/.."
 
 echo "== probe transport =="
-timeout 300 python - <<'EOF' || { echo "tunnel down — not starting"; exit 1; }
+timeout 600 python - <<'EOF' || { echo "tunnel down — not starting"; exit 1; }
 import jax, jax.numpy as jnp, numpy as np
 jax.devices()
 x = jnp.ones((256, 256))
