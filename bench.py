@@ -201,10 +201,13 @@ def bench_eval_sifid(num_samples: int = 64) -> float:
 
 
 def build_video(scale_idx: int = 6, compute_dtype: str = "float32",
-                fused_dg: bool = False):
-    """Video (Conv3D) GAN-phase chunk at a given scale of the 128px/13-frame
-    workload (BASELINE config 4 shape); returns
-    (cfg, state, chunk, data_scale, data_zero, amps) like build()."""
+                fused_dg: bool = False,
+                video_path: str = "data/vids/synthetic.avi",
+                img_size: int = 128):
+    """Video (Conv3D) GAN-phase chunk at a given scale of a video workload
+    (default: the 128px/13-frame BASELINE config 4 shape); returns
+    (cfg, state, chunk, data_scale, data_zero, amps) like build().
+    scale_idx=None selects the finest scale (cfg.stop_scale)."""
     from hpvaegan_tpu import models
     from hpvaegan_tpu.config import Config
     from hpvaegan_tpu.data.video import (SingleVideoDataset,
@@ -217,10 +220,12 @@ def build_video(scale_idx: int = 6, compute_dtype: str = "float32",
     from hpvaegan_tpu.training.steps import make_train_chunk
     from hpvaegan_tpu.utils import pyramid
 
-    cfg = Config(video_path="data/vids/synthetic.avi", img_size=128,
+    cfg = Config(video_path=video_path, img_size=img_size,
                  min_size=32, max_frames=13, compute_dtype=compute_dtype,
                  fused_dg=fused_dg,
                  discriminator="WDiscriminator3D", steps_per_call=8).finalize()
+    if scale_idx is None:
+        scale_idx = cfg.stop_scale
     cfg.scale_idx = scale_idx
     ds = SingleVideoDataset(cfg)
     fps, td, fi = pyramid.get_fps_td_by_index(scale_idx, cfg.stop_scale_time,
@@ -252,9 +257,13 @@ def build_video(scale_idx: int = 6, compute_dtype: str = "float32",
 
 def bench_video_scale(scale_idx: int = 6, iters: int = 16,
                       compute_dtype: str = "float32",
-                      fused_dg: bool = False) -> float:
+                      fused_dg: bool = False,
+                      video_path: str = "data/vids/synthetic.avi",
+                      img_size: int = 128) -> float:
     cfg, st, chunk, dS, d0, amps = build_video(scale_idx, compute_dtype,
-                                               fused_dg=fused_dg)
+                                               fused_dg=fused_dg,
+                                               video_path=video_path,
+                                               img_size=img_size)
     st, m = chunk(st, dS, d0, amps)
     float(np.asarray(m["g_loss"]))
     n = max(1, iters // cfg.steps_per_call)
@@ -263,6 +272,78 @@ def bench_video_scale(scale_idx: int = 6, iters: int = 16,
         st, m = chunk(st, dS, d0, amps)
     float(np.asarray(m["g_loss"]))
     return n * cfg.steps_per_call / (time.perf_counter() - t0)
+
+
+def _serving_prepared_dir():
+    """An experiment dir prepared for a LIVE native-serving measurement
+    (exported StableHLO + noise bins + compile options — the products of
+    `bash scripts/run_infer_tpu.sh EXP_DIR`), via BENCH_SERVING_DIR or the
+    conventional /tmp/bench_serving. None when absent or incomplete
+    (fresh VMs have neither — the carried record is the fallback)."""
+    import glob
+    d = os.environ.get("BENCH_SERVING_DIR", "/tmp/bench_serving")
+    infer = os.path.join(d, "infer")
+    if not all(os.path.exists(os.path.join(infer, n))
+               for n in ("compile_options.bin", "noise_amps", "seed")):
+        return None
+    return d if glob.glob(os.path.join(infer, "netG_*.mlir")) else None
+
+
+def serving_row(budget_ok, runner: str = None, prepared: str = None) -> dict:
+    """The BASELINE.md native-serving row (reference
+    ascend310_infer/src/main.cc:127-143 — there, latency is measured by the
+    run that reports it; this row works the same way whenever it can).
+
+    Preference order:
+      1. LIVE: a prepared experiment dir + the built runner exist and budget
+         remains -> execute the runner now (RUN_ONLY=1 run_infer_tpu.sh) and
+         report the fresh time_Result average. A runner regression then
+         fails THIS row instead of riding undetected into the artifact.
+      2. CARRIED: benchdata/serving_latency.json, explicitly labeled as not
+         measured this run, with its recording date + refresh recipe."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    if runner is None:
+        runner = os.path.join(here, "native", "pjrt_runner", "out",
+                              "pjrt_runner")
+    if prepared is None:
+        prepared = _serving_prepared_dir()
+    if prepared and os.path.exists(runner) and budget_ok():
+        import re
+        import subprocess
+        log(f"serving: live native-runner measurement on {prepared}")
+        try:
+            subprocess.run(
+                ["bash", os.path.join(here, "scripts", "run_infer_tpu.sh"),
+                 prepared],
+                env=dict(os.environ, RUN_ONLY="1"), check=True,
+                stdout=sys.stderr, stderr=sys.stderr,
+                timeout=max(60.0, min(_remaining_budget() - 60.0, 900.0)))
+            report = open(os.path.join(
+                prepared, "time_Result", "test_perform_static.txt")).read()
+            m = re.search(
+                r"average time:\s*([0-9.]+)\s*ms of infer_count\s*(\d+)",
+                report)
+            if m:
+                log(f"serving (live): {report.strip()}")
+                return {"serving_warm_ms": round(float(m.group(1)), 2),
+                        "serving_source":
+                            f"measured this run (native PJRT runner, "
+                            f"{m.group(2)} non-warmup inferences, RUN_ONLY "
+                            f"re-execution of the prepared export)"}
+            log(f"serving report unparseable: {report!r} — falling back")
+        except Exception as e:
+            log(f"live serving measurement failed: {e!r} — "
+                "falling back to the carried record")
+    serving = os.path.join(here, "benchdata", "serving_latency.json")
+    if not os.path.exists(serving):
+        return {"serving_warm_ms": None}
+    with open(serving) as f:
+        rec = json.load(f)
+    return {"serving_warm_ms": rec.get("warm_ms"),
+            "serving_source":
+                f"CARRIED (not measured this run): recorded "
+                f"{rec.get('date')} ({rec.get('workload')}); "
+                f"refresh: {rec.get('how')}"}
 
 
 def _last_known_bench(here: str = None):
@@ -538,7 +619,11 @@ def main():
     # ---- remaining BASELINE.md rows (all four tracked per round) ----
     # each row is gated on the supervisor budget: skipping with an explicit
     # reason beats overrunning the driver's timeout and losing the artifact
-    ROW_COST = {"sampling": 300.0, "video": 420.0}  # worst observed cold
+    # worst observed cold costs; video_finest = the ~600 s worst-case cold
+    # remote compile of the finest 3D chunk (train_watchdog.sh sizing) plus
+    # the measurement itself at ~1.8 steps/s
+    ROW_COST = {"sampling": 300.0, "video": 420.0, "video_finest": 700.0,
+                "serving": 420.0}
     if not args.headline_only:
         if _remaining_budget() < ROW_COST["sampling"]:
             log("sampling bench skipped: supervisor budget nearly spent")
@@ -573,20 +658,39 @@ def main():
             # (1.84 it/s there) — label so rounds can't conflate the two
             result["video_workload"] = ("scale 6/7, 128px/13-frame, "
                                         "td 13, fused chunk of 8")
-        # native serving latency: measured via scripts/run_infer_tpu.sh
-        # (exports + compiles the full model through the native PJRT runner,
-        # ~minutes); the recorded artifact carries the measurement + date
-        serving = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "benchdata", "serving_latency.json")
-        if os.path.exists(serving):
-            with open(serving) as f:
-                rec = json.load(f)
-            result["serving_warm_ms"] = rec.get("warm_ms")
-            result["serving_source"] = (
-                f"recorded {rec.get('date')} ({rec.get('workload')}); "
-                f"refresh: {rec.get('how')}")
+        # the finest-3D rate — the most expensive compute shape of the whole
+        # framework (the 256px pan-clip video workload's finest scale,
+        # 13x192x257, td 13: the round-3 26k-iter soak shape, docs/PERF.md,
+        # expected ~1.8 steps/s bf16+fused-dg) — tracked in the driver
+        # artifact so cross-round regression checking no longer rests on
+        # prose. Reference metric mechanism: src/utils/progress_bar.py:37-47.
+        if _remaining_budget() < ROW_COST["video_finest"]:
+            log("finest-3D bench skipped: supervisor budget nearly spent")
+            result["video_finest_steps_per_sec"] = None
+            result["video_finest_skipped"] = "bench budget exhausted"
         else:
-            result["serving_warm_ms"] = None
+            try:
+                vf = bench_video_scale(
+                    scale_idx=None, iters=16,
+                    compute_dtype=args.compute_dtype,
+                    fused_dg=args.fused_dg,
+                    video_path="data/vids/balloons_pan.avi", img_size=256)
+                log(f"video train step (finest scale of the 256px/13-frame "
+                    f"pan-clip workload, {args.compute_dtype}"
+                    f"{'+fused-dg' if args.fused_dg else ''}): "
+                    f"{vf:.3f} steps/s")
+                result["video_finest_steps_per_sec"] = round(vf, 3)
+            except Exception as e:
+                log(f"finest-3D bench failed: {e!r}")
+                result["video_finest_steps_per_sec"] = None
+            result["video_finest_workload"] = (
+                "finest scale of the 256px/13-frame balloons_pan workload, "
+                "13x192x257, td 13, fused chunk of 8")
+        # native serving latency (live when a prepared export + built runner
+        # exist on this VM, carried from benchdata otherwise — see
+        # serving_row)
+        result.update(serving_row(
+            lambda: _remaining_budget() >= ROW_COST["serving"]))
 
     print(json.dumps(result))
 

@@ -26,7 +26,7 @@ from ..utils.noise import generate_noise
 
 def load_image01(path: str) -> np.ndarray:
     """Decode an image file to (H, W, 3) float32 in [0, 1]."""
-    import imageio
+    import imageio.v2 as imageio
 
     if not os.path.exists(path):
         raise FileNotFoundError(f"invalid path: {path}")

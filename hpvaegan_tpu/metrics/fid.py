@@ -15,6 +15,7 @@ C3D block features.
 from __future__ import annotations
 
 import pathlib
+import warnings
 from typing import List, Optional
 
 import numpy as np
@@ -33,10 +34,17 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
     assert sigma1.shape == sigma2.shape
 
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
-    if not np.isfinite(covmean).all():
-        offset = np.eye(sigma1.shape[0]) * eps
-        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    # (near-)singular products are EXPECTED here (per-position stats can
+    # have fewer positions than channels) and explicitly handled by the
+    # eps-offset retry below, so scipy's advisory warning is noise at this
+    # call site; `disp` is not passed (deprecated, removed in scipy 1.18).
+    with warnings.catch_warnings():
+        warnings.filterwarnings("ignore", message="Matrix is singular")
+        covmean = np.asarray(linalg.sqrtm(sigma1.dot(sigma2)))
+        if not np.isfinite(covmean).all():
+            offset = np.eye(sigma1.shape[0]) * eps
+            covmean = np.asarray(
+                linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset)))
     if np.iscomplexobj(covmean):
         if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
             raise ValueError("Imaginary component {}".format(
@@ -98,7 +106,7 @@ def svfid_arrays(reals: np.ndarray, fakes: np.ndarray,
 
 
 def _load_images(files) -> np.ndarray:
-    import imageio
+    import imageio.v2 as imageio
 
     imgs = []
     for f in files:

@@ -16,7 +16,7 @@ import numpy as np
 
 def make_video(array, fps: float, filename: str) -> None:
     """GIF from (T, H, W, C) uint8 frames (reference extract.py:13-25)."""
-    import imageio
+    import imageio.v2 as imageio
 
     frames = [np.asarray(f).astype(np.uint8) for f in array]
     duration = 1000.0 / fps  # imageio v3 duration in ms per frame
@@ -25,7 +25,7 @@ def make_video(array, fps: float, filename: str) -> None:
 
 def generate_images(cfg, saver) -> None:
     """random_samples.npy -> fake_<i>.png (reference extract.py:28-41)."""
-    import imageio
+    import imageio.v2 as imageio
 
     fakes_path = os.path.join(saver.eval_dir, "random_samples.npy")
     out_dir = os.path.join(saver.eval_dir, cfg.save_path)
@@ -44,7 +44,7 @@ def generate_images(cfg, saver) -> None:
 def generate_gifs(cfg, saver) -> None:
     """real.gif / fake.gif + unfold grids (reference extract.py:44-83)."""
     import cv2
-    import imageio
+    import imageio.v2 as imageio
 
     reals_path = os.path.join(saver.eval_dir, "real_full_scale.npy")
     fakes_path = os.path.join(saver.eval_dir, "random_samples.npy")

@@ -38,14 +38,19 @@ else
     plugin=${2:-${PJRT_PLUGIN:-$(python3 -c 'import libtpu, os; print(os.path.join(os.path.dirname(libtpu.__file__), "libtpu.so"))')}}
 fi
 
-echo "== export =="
-# NUM_SAMPLES=N writes N noise bins — the runner executes one inference
-# per bin and reports the averaged latency (reference main.cc loop)
-python3 "$repo_dir/export.py" --exp-dir "$exp_dir" \
-    --num-samples "${NUM_SAMPLES:-1}"
+# RUN_ONLY=1: skip export/build/postprocess and just execute the runner on
+# an ALREADY-prepared experiment (bench.py's live serving row re-measures
+# latency this way; the export and the runner binary must already exist)
+if [ "${RUN_ONLY:-0}" != "1" ]; then
+    echo "== export =="
+    # NUM_SAMPLES=N writes N noise bins — the runner executes one inference
+    # per bin and reports the averaged latency (reference main.cc loop)
+    python3 "$repo_dir/export.py" --exp-dir "$exp_dir" \
+        --num-samples "${NUM_SAMPLES:-1}"
 
-echo "== build runner =="
-bash "$repo_dir/native/pjrt_runner/build.sh" > /dev/null
+    echo "== build runner =="
+    bash "$repo_dir/native/pjrt_runner/build.sh" > /dev/null
+fi
 
 # NEWEST export, not the lexicographically smallest — netG_5.mlir from an
 # older --netG export (or netG_10 vs netG_9) would otherwise be compiled
@@ -69,6 +74,9 @@ cd "$exp_dir"
     --output_dir="$exp_dir/infer/result" \
     "${opts[@]}"
 
+if [ "${RUN_ONLY:-0}" = "1" ]; then
+    exit 0
+fi
 echo "== postprocess =="
 cd "$repo_dir"
 python3 postprocess.py --exp-dir "$exp_dir"

@@ -6,6 +6,9 @@ Run: python tests/_multihost_worker.py <proc_id> <nprocs> <port> <workdir> [mode
 Modes:
   image      — image train + cross-process sampling + on-device-FID eval
                (the full primary/NullSaver IO contract)
+  video      — 2-scale HPVAEGAN Conv3D video train (the flagship video
+               trainer over a cross-process mesh: VAE + GAN phases,
+               fps/td schedule, primary-only IO)
   baselines  — 2-scale CSG video-baselines train (exercises the scale>0
                netD warm-start symmetry allgather with real collectives)
 Prints one JSON line with a params checksum for cross-process identity.
@@ -112,6 +115,26 @@ if mode == "image":
                       "sample_shape": list(out.shape),
                       "sample_sum": sample_sum,
                       "sifid": float(sifid)}), flush=True)
+
+elif mode == "video":
+    from hpvaegan_tpu.training.trainer import run_training
+
+    cfg = Config(video_path=VID, checkname="mhv", nfc=8, latent_dim=8,
+                 num_layer=1, enc_blocks=1, niter=2, img_size=18,
+                 min_size=9, max_size=18, sampling_rates=[2, 1],
+                 max_frames=5, vae_levels=1,
+                 discriminator="WDiscriminator3D",
+                 batch_size=4, mesh_data=4, steps_per_call=2,
+                 compile_ahead=False, print_interval=100,
+                 run_dir=workdir, manualSeed=seed).finalize()
+    g_params, g_state, amps, saver = run_training(cfg, mode="video",
+                                                  seed=seed)
+    print(json.dumps({"proc": proc_id, "seed": seed,
+                      "checksum": checksum_of(g_params),
+                      "amps": [float(a) for a in amps],
+                      "saver": type(saver).__name__,
+                      "exp_dir": saver.experiment_dir,
+                      "n_scales": int(cfg.stop_scale + 1)}), flush=True)
 
 elif mode == "baselines":
     from hpvaegan_tpu.training.baselines_trainer import run_training as run_b

@@ -44,7 +44,7 @@ def test_svfid_runs_on_videos():
 def test_load_images_grayscale(tmp_path):
     """Grayscale files must promote to 3 channels ([..., :3] on an (H, W)
     array would slice the WIDTH axis)."""
-    import imageio
+    import imageio.v2 as imageio
 
     from hpvaegan_tpu.metrics.fid import _load_images
 
@@ -97,7 +97,7 @@ def test_missing_explicit_weights_fail_loudly(tmp_path, monkeypatch):
 def test_calculate_sifid_accepts_single_real_file(tmp_path):
     """The eval/serving paths score against the ONE trained image; a sibling
     image in the same directory must not enter the real set."""
-    import imageio
+    import imageio.v2 as imageio
 
     from hpvaegan_tpu.metrics.fid import calculate_SIFID
 

@@ -137,6 +137,46 @@ def test_two_process_training(tmp_path):
     assert metrics["value"] == by_proc[0]["sifid"]
 
 
+def test_two_process_video_training(tmp_path):
+    """Multi-process HPVAEGAN Conv3D video training — the flagship video
+    trainer (VAE + GAN phases, fps/td schedule) certified bit-identical
+    across 2 processes × 2 devices with real Gloo collectives and
+    primary-only IO (SURVEY §2.3 new-capability surface)."""
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), "2", str(port), str(tmp_path),
+         "video"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    by_proc = {o["proc"]: o for o in outs}
+
+    # identical replicated params + amp trajectories on both processes
+    assert by_proc[0]["checksum"] == by_proc[1]["checksum"]
+    assert by_proc[0]["amps"] == by_proc[1]["amps"]
+    assert all(a > 0 for a in by_proc[0]["amps"])
+    # exactly one process owned file IO; the broadcast dir reached both
+    assert by_proc[0]["saver"] == "DataSaver"
+    assert by_proc[1]["saver"] == "NullSaver"
+    assert by_proc[1]["exp_dir"] == by_proc[0]["exp_dir"]
+
+    exps = glob.glob(os.path.join(str(tmp_path), "**", "experiment_*"),
+                     recursive=True)
+    assert len(exps) == 1
+    exp = exps[0]
+    assert by_proc[0]["n_scales"] >= 2  # a real multi-scale ladder ran
+    for k in range(by_proc[0]["n_scales"]):
+        assert os.path.exists(os.path.join(exp, f"netG_{k}.ckpt"))
+    assert os.path.exists(os.path.join(exp, "args.txt"))
+    assert os.path.exists(os.path.join(exp, "intermediate.json"))
+
+
 def test_two_process_baselines_training(tmp_path):
     """Multi-process CSG video-baselines train: exercises the 3D chunk over
     a cross-process mesh AND the scale>0 netD warm-start symmetry allgather

@@ -148,7 +148,7 @@ def test_load_image01_grayscale(tmp_path):
     """Single-channel images must load as 3-channel (the reference's
     cv2.imread always yields 3 channels, so grayscale inputs trained fine
     there and must not crash here)."""
-    import imageio
+    import imageio.v2 as imageio
     import numpy as np
 
     from hpvaegan_tpu.data.image import load_image01

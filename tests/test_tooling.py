@@ -374,6 +374,9 @@ def test_bench_main_rows_provisional_and_budget_skip(monkeypatch, capsys):
     monkeypatch.setattr(bench, "target_steps_per_sec", lambda: 2.9)
     monkeypatch.setattr(sys, "argv", ["bench.py"])
     monkeypatch.setenv("_BENCH_CHILD", "1")
+    # the serving row must stay on the CARRIED path in tests even when this
+    # VM has a live-prepared dir + built runner (never run hardware here)
+    monkeypatch.setenv("BENCH_SERVING_DIR", "/nonexistent-bench-serving")
 
     # plenty of budget: all rows run; TWO stdout lines (provisional + full)
     monkeypatch.setenv("_BENCH_DEADLINE", repr(time.time() + 3600))
@@ -385,7 +388,12 @@ def test_bench_main_rows_provisional_and_budget_skip(monkeypatch, capsys):
     assert full["sampling_images_per_sec"] == 23.0
     assert full["video_steps_per_sec"] == 11.0
     assert "128px" in full["video_workload"]
+    assert full["video_finest_steps_per_sec"] == 11.0
+    assert "13x192x257" in full["video_finest_workload"]
     assert full["vs_baseline"] == round(55.0 / 2.9, 4)
+    # serving: no prepared dir -> carried from benchdata, explicitly labeled
+    assert full["serving_warm_ms"] is not None
+    assert full["serving_source"].startswith("CARRIED")
 
     # budget nearly spent: headline survives, rows skip with a reason
     monkeypatch.setenv("_BENCH_DEADLINE", repr(time.time() + 60))
@@ -397,6 +405,9 @@ def test_bench_main_rows_provisional_and_budget_skip(monkeypatch, capsys):
     assert full["sampling_skipped"] == "bench budget exhausted"
     assert full["video_steps_per_sec"] is None
     assert full["video_skipped"] == "bench budget exhausted"
+    assert full["video_finest_steps_per_sec"] is None
+    assert full["video_finest_skipped"] == "bench budget exhausted"
+    assert full["serving_source"].startswith("CARRIED")
 
     # --headline-only: exactly ONE line (manual/raw contract unchanged)
     monkeypatch.setattr(sys, "argv", ["bench.py", "--headline-only"])
@@ -404,3 +415,72 @@ def test_bench_main_rows_provisional_and_budget_skip(monkeypatch, capsys):
     bench.main()
     lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
     assert len(lines) == 1 and json.loads(lines[0])["value"] == 55.0
+
+
+def test_bench_serving_prepared_dir_detection(tmp_path, monkeypatch):
+    """_serving_prepared_dir accepts only a COMPLETE export (model +
+    compile options + all three input bins) — a half-written dir must fall
+    back to the carried record, not crash the runner mid-bench."""
+    import bench
+
+    d = tmp_path / "exp"
+    (d / "infer").mkdir(parents=True)
+    monkeypatch.setenv("BENCH_SERVING_DIR", str(d))
+    assert bench._serving_prepared_dir() is None  # empty infer/
+    for n in ("compile_options.bin", "noise_amps", "seed"):
+        (d / "infer" / n).write_bytes(b"x")
+    assert bench._serving_prepared_dir() is None  # no model yet
+    (d / "infer" / "netG_9.mlir").write_text("module {}")
+    assert bench._serving_prepared_dir() == str(d)
+    monkeypatch.setenv("BENCH_SERVING_DIR", "/nonexistent-bench-serving")
+    assert bench._serving_prepared_dir() is None
+
+
+def test_bench_serving_row_live_and_fallback(tmp_path, monkeypatch):
+    """serving_row: a live runner execution wins and is labeled 'measured
+    this run'; a failing runner (or no budget / no runner binary) falls
+    back to the carried benchdata record labeled CARRIED."""
+    import subprocess
+    import time
+
+    import bench
+
+    monkeypatch.setenv("_BENCH_DEADLINE", repr(time.time() + 3600))
+    prepared = tmp_path / "exp"
+    (prepared / "infer").mkdir(parents=True)
+    runner = tmp_path / "pjrt_runner"
+    runner.write_text("#!/bin/sh\n")
+
+    # live path: stub the script invocation, write the runner's report
+    def fake_run(argv, **kw):
+        assert argv[0] == "bash" and argv[1].endswith("run_infer_tpu.sh")
+        assert kw["env"]["RUN_ONLY"] == "1"
+        tr = prepared / "time_Result"
+        tr.mkdir(exist_ok=True)
+        (tr / "test_perform_static.txt").write_text(
+            "NN inference cost average time: 61.25 ms of infer_count 8\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    row = bench.serving_row(lambda: True, runner=str(runner),
+                            prepared=str(prepared))
+    assert row["serving_warm_ms"] == 61.25
+    assert row["serving_source"].startswith("measured this run")
+    assert "8 non-warmup" in row["serving_source"]
+
+    # failing runner -> carried fallback, explicit label
+    def boom(argv, **kw):
+        raise subprocess.CalledProcessError(1, argv)
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    row = bench.serving_row(lambda: True, runner=str(runner),
+                            prepared=str(prepared))
+    assert row["serving_warm_ms"] is not None  # benchdata record exists
+    assert row["serving_source"].startswith("CARRIED")
+
+    # no budget -> never invokes the runner at all
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("must not run")))
+    row = bench.serving_row(lambda: False, runner=str(runner),
+                            prepared=str(prepared))
+    assert row["serving_source"].startswith("CARRIED")
