@@ -248,7 +248,8 @@ def _train_baseline_scale(cfg, g_apply, d_apply, d_init, dataset, saver,
     saver.finalize_scale(
         scale_idx, noise_amps,
         {"params": state.g_params, "state": state.g_state},
-        {"params": state.d_params, "state": state.d_state})
+        {"params": state.d_params, "state": state.d_state},
+        key=key)
     # multi-process: the NEXT scale's netD warm-start reads this scale's
     # just-written checkpoint from the shared FS — barrier here so a
     # non-primary can't race ahead of the primary's write and turn a
@@ -320,6 +321,29 @@ def run_training(cfg, seed: int = 0, step_callback=None):
             g_state = ckpt["state"].g_state
             assert len(noise_amps) == cfg.scale_idx + 1, \
                 (len(noise_amps), cfg.scale_idx)
+        elif "key" in inter:
+            # our finalize markers carry the end-of-scale outer PRNG key:
+            # scale_idx is COMPLETE — continue at the NEXT scale bit-exactly
+            # instead of retraining it from its own trained params (the
+            # reference's keyless-marker semantics, kept in the branch
+            # below; see trainer.run_training for the full rationale)
+            g_params, g_state = ckpt["params"], ckpt["state"]
+            assert len(noise_amps) == cfg.scale_idx + 1, \
+                (len(noise_amps), cfg.scale_idx)
+            key = jnp.asarray(inter["key"], dtype=jnp.uint32)
+            src = os.path.join(resume_dir, f"netD_{cfg.scale_idx}.ckpt")
+            dst = os.path.join(saver.experiment_dir,
+                               f"netD_{cfg.scale_idx}.ckpt")
+            if multihost.is_primary() and os.path.isfile(src) \
+                    and not os.path.exists(dst):
+                import shutil
+                shutil.copy(src, dst)
+            multihost.sync("baselines_resume_netd_copy")
+            cfg.scale_idx += 1
+            resumed_idx, resume_dir = -1, ""
+            if cfg.scale_idx > cfg.stop_scale:
+                logging.info("resume: all %d scales already complete — "
+                             "nothing to train", cfg.stop_scale + 1)
         else:
             g_params, g_state = ckpt["params"], ckpt["state"]
             noise_amps = noise_amps[:cfg.scale_idx]

@@ -301,7 +301,8 @@ def train_scale(cfg, g_params, g_state, dataset, saver: DataSaver,
         scale_idx, noise_amps,
         {"params": state.g_params, "state": state.g_state},
         None if vae_phase else {"params": state.d_params,
-                                "state": state.d_state})
+                                "state": state.d_state},
+        key=key)
     return state.g_params, state.g_state, noise_amps, key
 
 
@@ -493,9 +494,39 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
             g_params, g_state = ckpt["params"], ckpt["state"]
             assert len(g_params["body"]) == cfg.scale_idx, \
                 (len(g_params["body"]), cfg.scale_idx)
-            # the saved amps list already includes the resumed scale;
-            # retrain it
-            noise_amps = noise_amps[:cfg.scale_idx]
+            if "key" in inter:
+                # our finalize markers carry the end-of-scale outer PRNG
+                # key: scale_idx is a COMPLETED scale, so continue at the
+                # NEXT one bit-exactly (same key, same amps, D warm-start
+                # from the completed scale's netD — byte-identical to what
+                # an uninterrupted run reads from its own dir). The
+                # reference's keyless marker instead RETRAINS the finished
+                # scale from its own trained params (train_image.py:361-379
+                # — double-trains it and recalibrates its amp); that path
+                # is kept below for reference-format checkpoints.
+                assert len(noise_amps) == cfg.scale_idx + 1, \
+                    (len(noise_amps), cfg.scale_idx)
+                key = jnp.asarray(inter["key"], dtype=jnp.uint32)
+                from ..parallel import multihost as _mh
+                src = os.path.join(resume_dir,
+                                   f"netD_{cfg.scale_idx}.ckpt")
+                dst = os.path.join(saver.experiment_dir,
+                                   f"netD_{cfg.scale_idx}.ckpt")
+                if _mh.is_primary() and os.path.isfile(src) \
+                        and not os.path.exists(dst):
+                    import shutil
+                    shutil.copy(src, dst)
+                _mh.sync("resume_netd_copy")
+                cfg.scale_idx += 1
+                resumed_idx, resume_dir = -1, ""
+                if cfg.scale_idx > cfg.stop_scale:
+                    logging.info(
+                        "resume: all %d scales already complete — nothing "
+                        "to train", cfg.stop_scale + 1)
+            else:
+                # the saved amps list already includes the resumed scale;
+                # retrain it (reference resume semantics)
+                noise_amps = noise_amps[:cfg.scale_idx]
 
     pre = None
     if getattr(cfg, "compile_ahead", False) \

@@ -197,18 +197,26 @@ class DataSaver:
                         "inflight_iter": iteration}, "intermediate.json")
 
     def finalize_scale(self, scale_idx: int, noise_amps, g_tree,
-                       d_tree=None) -> None:
+                       d_tree=None, key=None) -> None:
         """Scale-end artifact sequence (reference: train_image.py:206-210),
         crash-ordered: netG/netD checkpoints FIRST, then the intermediate
         marker, then drop the inflight ckpt. A kill before the marker leaves
         the previous marker (inflight or prior scale) with its checkpoint
         still on disk; marker-then-checkpoint would leave a scale_idx
-        pointing at a netG that does not exist, restarting from scratch."""
+        pointing at a netG that does not exist, restarting from scratch.
+
+        key: the end-of-scale outer PRNG key. Recording it marks scale_idx
+        as COMPLETE and lets a resume continue at the NEXT scale bit-exactly
+        — the reference's keyless marker forces its resume to retrain the
+        finished scale from its own trained params (train_image.py:361-379),
+        which both double-trains it and recalibrates its noise amp."""
         self.save_checkpoint(g_tree, f"netG_{scale_idx}.ckpt")
         if d_tree is not None:
             self.save_checkpoint(d_tree, f"netD_{scale_idx}.ckpt")
-        self.save_json({"noise_amps": noise_amps, "scale_idx": scale_idx},
-                       "intermediate.json")
+        marker = {"noise_amps": noise_amps, "scale_idx": scale_idx}
+        if key is not None:
+            marker["key"] = np.asarray(key).tolist()
+        self.save_json(marker, "intermediate.json")
         inflight = os.path.join(self.experiment_dir,
                                 f"inflight_{scale_idx}.ckpt")
         if os.path.exists(inflight):

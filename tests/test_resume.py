@@ -261,3 +261,55 @@ def test_inflight_resume_exact_with_visualize(tmp_path):
     for a, c in zip(jax.tree_util.tree_leaves(g_a),
                     jax.tree_util.tree_leaves(g_c)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_finalized_scale_resume_continues_next_scale_exact(tmp_path):
+    """A kill landing AFTER a scale's finalize but BEFORE the next scale's
+    first inflight checkpoint must resume at the NEXT scale bit-exactly:
+    our finalize marker stores the end-of-scale outer PRNG key, so the
+    finished scale is never retrained. (The reference's keyless marker
+    retrains it from its own trained params — train_image.py:361-379 —
+    double-training the scale and recalibrating its amp; that compat path
+    stays pinned by test_resume_from_mid_run.) The resumed run gets a
+    DIFFERENT seed to prove the marker key, not the CLI seed, governs."""
+    import jax
+    import numpy as np
+
+    cfg_a = _cfg(str(tmp_path / "a"))
+    g_a, _, amps_a, _ = run_training(cfg_a, mode="image", seed=1)
+    assert cfg_a.stop_scale >= 2
+
+    class Boom(Exception):
+        pass
+
+    cfg_b = _cfg(str(tmp_path / "b"))
+
+    def cb(done, state, metrics):
+        if cfg_b.scale_idx == 2:
+            raise Boom()
+
+    try:
+        run_training(cfg_b, mode="image", seed=1, step_callback=cb)
+        assert False, "expected the simulated kill"
+    except Boom:
+        pass
+    exp_b = cfg_b.saver.experiment_dir
+    with open(os.path.join(exp_b, "intermediate.json")) as f:
+        inter = json.load(f)
+    # on-disk state: scale 1 finalized (keyed marker), scale 2's work lost
+    assert inter["scale_idx"] == 1 and "key" in inter
+    assert not inter.get("inflight")
+
+    cfg_c = _cfg(str(tmp_path / "c"))
+    cfg_c.netG = os.path.join(exp_b, "netG_1.ckpt")
+    cfg_c.intermediate = os.path.join(exp_b, "intermediate.json")
+    g_c, _, amps_c, saver_c = run_training(cfg_c, mode="image", seed=99)
+
+    assert amps_a == amps_c
+    for a, c in zip(jax.tree_util.tree_leaves(g_a),
+                    jax.tree_util.tree_leaves(g_c)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    # the fresh experiment dir is self-contained: the netD warm-start the
+    # resumed scale 2 used was copied in from the interrupted run
+    assert os.path.exists(os.path.join(saver_c.experiment_dir,
+                                       "netD_1.ckpt"))
