@@ -1,9 +1,10 @@
 #!/bin/bash
 # The reference's FULL default video workload, end-to-end on hardware:
 # 13-frame / 256px HP-VAE-GAN video training at 50,000 iters per scale
-# (reference train_video.py:261 default; its fps/td ladder yields 13+
-# scales), under the stall watchdog with mid-scale checkpoints so outages
-# resume instead of restarting.
+# (reference train_video.py:261 default; the fps/td ladder depth follows
+# the clip's aspect ratio — 10 scales on the checked-in pan clip, finest
+# 13x192x257), under the stall watchdog with mid-scale checkpoints so
+# outages resume instead of restarting.
 #
 # Usage: bash scripts/run_full_video.sh [RUN_DIR] [HOURS_BUDGET]
 #   RUN_DIR       default /tmp/run_fullvid (must be dedicated to this run)
@@ -17,6 +18,11 @@
 #   FV_NITER          iters per scale (default 50000)
 #   FV_CKPT_INTERVAL  inflight-checkpoint interval (default 2000)
 #   FV_STALL          watchdog stall seconds (default 900)
+#   FV_DTYPE          conv compute dtype (default bfloat16 — with --fused-dg
+#                     the quality-qualified headline config: SVFID parity
+#                     A/B'd at 26k iters, docs/PERF.md round-3 soak; set
+#                     float32 for the reference's numerics)
+#   FV_FUSED          1 (default) adds --fused-dg; 0 for the split D/G step
 #   FV_SMOKE=1        tiny-shape CPU dress rehearsal of the WHOLE script
 #                     (probe skip, watchdog, budget expiry, resume) so the
 #                     runbook's plumbing is testable in-suite without TPU
@@ -42,7 +48,9 @@ if [ "${FV_SMOKE:-0}" = "1" ]; then
     print_interval=2
     stall=${FV_STALL:-900}
 else
-    size_args=(--img-size "${FV_IMG_SIZE:-256}")
+    size_args=(--img-size "${FV_IMG_SIZE:-256}"
+               --compute-dtype "${FV_DTYPE:-bfloat16}")
+    [ "${FV_FUSED:-1}" = "1" ] && size_args+=(--fused-dg)
     niter=${FV_NITER:-50000}
     ckpt=${FV_CKPT_INTERVAL:-2000}
     print_interval=500
@@ -58,7 +66,9 @@ fi
 
 # balloons_pan.avi: the checked-in 24-frame eyeball-able clip (the
 # reference ships no video asset); defaults give the reference's exact
-# shape: 256px, 13 frames, sampling-rates 4 3 2 1 -> 13-scale ladder
+# shape: 256px, 13 frames, sampling-rates 4 3 2 1. Ladder depth follows
+# the clip's aspect ratio (utils/pyramid.py): this clip yields a
+# 10-scale ladder, finest 13x192x257
 # --foreground: keep the watchdog in THIS process group (plain timeout
 # setpgid's it away, so a kill of the script's group would orphan the
 # training — the exact VM-loss scenario the drill test simulates). Budget
