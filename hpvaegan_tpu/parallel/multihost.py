@@ -252,7 +252,7 @@ class NullSaver:
         pass
 
     def finalize_scale(self, scale_idx: int, noise_amps, g_tree,
-                       d_tree=None) -> None:
+                       d_tree=None, key=None) -> None:
         pass
 
     def save_json(self, obj, filename: str) -> None:

@@ -456,6 +456,7 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
         cfg.scale_idx = resumed_idx = int(inter["scale_idx"])
         resume_dir = os.path.dirname(cfg.netG)
         from ..utils.saver import load_pytree
+        native_ckpt = False
         if cfg.netG.endswith(".pth"):
             # continue training a reference-trained torch experiment
             # (reference resumes only from its own .ckpt, train_image.py:374)
@@ -475,6 +476,7 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
                 ckpt = {"params": params, "state": st}
             else:
                 ckpt = load_pytree(cfg.netG)
+                native_ckpt = True
         if inter.get("inflight") \
                 and os.path.basename(cfg.netG) == inter["inflight"]:
             # mid-scale resume (--ckpt-interval): the inflight ckpt carries
@@ -494,7 +496,7 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
             g_params, g_state = ckpt["params"], ckpt["state"]
             assert len(g_params["body"]) == cfg.scale_idx, \
                 (len(g_params["body"]), cfg.scale_idx)
-            if "key" in inter:
+            if "key" in inter and native_ckpt:
                 # our finalize markers carry the end-of-scale outer PRNG
                 # key: scale_idx is a COMPLETED scale, so continue at the
                 # NEXT one bit-exactly (same key, same amps, D warm-start
@@ -503,7 +505,10 @@ def run_training(cfg, mode: str = "image", seed: Optional[int] = None,
                 # reference's keyless marker instead RETRAINS the finished
                 # scale from its own trained params (train_image.py:361-379
                 # — double-trains it and recalibrates its amp); that path
-                # is kept below for reference-format checkpoints.
+                # is kept below, and also applies when the generator is a
+                # CONVERTED torch/MindSpore file: a foreign netG invalidates
+                # the marker's key/amp pairing (the key continues a state
+                # that checkpoint never trained), so retrain + recalibrate.
                 assert len(noise_amps) == cfg.scale_idx + 1, \
                     (len(noise_amps), cfg.scale_idx)
                 key = jnp.asarray(inter["key"], dtype=jnp.uint32)
